@@ -1,0 +1,21 @@
+"""Kernel-level ops (the gn_kernels analog).
+
+Exports mirror kernels/gn_kernels/__init__.py:1-25 with TPU-native
+implementations: XLA-lowered jnp paths plus Pallas MXU kernels selected via
+:func:`set_backend`.
+"""
+
+from ._dispatch import set_backend, use_backend
+from .int4_mm import int4_mm, scaled_int4_mm, unpack_int4
+from .scaled_mm import int8_mm, scaled_mm, scaled_mm_ref
+
+__all__ = [
+    "set_backend",
+    "use_backend",
+    "int8_mm",
+    "scaled_mm",
+    "scaled_mm_ref",
+    "int4_mm",
+    "scaled_int4_mm",
+    "unpack_int4",
+]

@@ -1,0 +1,141 @@
+"""Mixed-precision (INT8/INT4) dynamic quantized training — flagship scheme.
+
+Behavioral parity with subclasses/mixed_precision.py: the forward matmul and
+both backward matmuls (grad_input, grad_weight) are INDEPENDENTLY toggled to
+run as dynamic row-wise-quantized INT8 (or INT4) matmuls, re-quantizing both
+operands per matmul (which is what makes the backward quantizable at all —
+the scale never lies along the reduction dim, mixed_precision.py:100-134).
+
+TPU-native design: the weight stays a plain bf16 array inside a
+:class:`MixedPrecisionWeight` pytree wrapper; the linear is a
+``jax.custom_vjp`` whose bwd issues the same scaled-matmul kernels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.scaled_mm import scaled_mm
+from ..ops.int4_mm import scaled_int4_mm
+from .configs import MixedPrecisionConfig
+from .core import quantize_int8, quantize_int4_rowwise_absmax
+
+Array = jax.Array
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data"],
+    meta_fields=["config"],
+)
+@dataclass
+class MixedPrecisionWeight:
+    """bf16 master weight + static per-matmul quantization config.
+
+    Pytree analog of MixedPrecisionLinearWeight (mixed_precision.py:23-97):
+    the wrapper only tags the weight with its config; all quantization is
+    dynamic, per matmul.
+    """
+
+    data: Array  # [out, in] (or [L, out, in] when stacked for scan)
+    config: MixedPrecisionConfig
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+
+def _dynamic_int8_mm(a: Array, b: Array, sr: bool, key: Array | None) -> Array:
+    """out = A @ B with both operands dynamically row/col quantized to INT8.
+
+    A is quantized along its rows (axis=1), B along its columns (axis=0) so
+    both scales stay off the reduction dim (mixed_precision.py:100-108).
+    """
+    ka = kb = None
+    if sr:
+        ka, kb = jax.random.split(key)
+    a_i8, row_scale = quantize_int8(a, axis=1, stochastic_rounding=sr, key=ka)
+    b_i8, col_scale = quantize_int8(b, axis=0, stochastic_rounding=sr, key=kb)
+    return scaled_mm(a_i8, b_i8, row_scale, col_scale, out_dtype=a.dtype)
+
+
+def _dynamic_int4_mm(a: Array, b: Array) -> Array:
+    """INT4 variant (no SR in the reference either, mixed_precision.py:126-134)."""
+    a_i4, row_scale = quantize_int4_rowwise_absmax(a)
+    b_t_i4, col_scale = quantize_int4_rowwise_absmax(b.T)
+    return scaled_int4_mm(a_i4, b_t_i4, row_scale, col_scale, out_dtype=a.dtype)
+
+
+def _dynamic_mm(a: Array, b: Array, config: MixedPrecisionConfig, key) -> Array:
+    if config.dtype == "int8":
+        return _dynamic_int8_mm(a, b, config.stochastic_rounding, key)
+    elif config.dtype == "int4":
+        return _dynamic_int4_mm(a, b)
+    raise ValueError(f"unsupported mixed-precision dtype {config.dtype!r}")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _mp_linear(config: MixedPrecisionConfig, x2d: Array, w: Array, key: Array):
+    """x2d [B, in] @ w.T [in, out]; w is [out, in]."""
+    if config.output:
+        return _dynamic_mm(x2d, w.T, config, _subkey(key, 0))
+    return x2d @ w.T
+
+
+def _subkey(key: Array, i: int) -> Array:
+    return jax.random.fold_in(key, i)
+
+
+def _mp_linear_fwd(config, x2d, w, key):
+    return _mp_linear(config, x2d, w, key), (x2d, w, key)
+
+
+def _mp_linear_bwd(config, res, g):
+    x2d, w, key = res
+    g = g.astype(w.dtype)
+
+    if config.grad_input:
+        grad_input = _dynamic_mm(g, w, config, _subkey(key, 1))
+    else:
+        grad_input = g @ w
+
+    if config.grad_weight:
+        # quantizing input.T row-wise == per-K-column scales; this is the
+        # "slightly faster" formulation of mixed_precision.py:183-188
+        grad_weight = _dynamic_mm(x2d.T, g, config, _subkey(key, 2)).T
+    else:
+        grad_weight = g.T @ x2d
+
+    return grad_input, grad_weight, None  # key gets no cotangent
+
+
+_mp_linear.defvjp(_mp_linear_fwd, _mp_linear_bwd)
+
+
+def linear(
+    x: Array,
+    w: MixedPrecisionWeight,
+    bias: Array | None = None,
+    *,
+    key: Array | None = None,
+) -> Array:
+    """Mixed-precision linear: y = x @ w.T + bias with per-matmul quant."""
+    if key is None:
+        if w.config.stochastic_rounding:
+            raise ValueError("stochastic_rounding requires a PRNG key")
+        key = jax.random.PRNGKey(0)
+    batch_dims = x.shape[:-1]
+    x2d = x.reshape(-1, x.shape[-1])
+    out = _mp_linear(w.config, x2d, w.data, key)
+    out = out.reshape(*batch_dims, w.data.shape[0])
+    if bias is not None:
+        out = out + bias
+    return out

@@ -1,0 +1,256 @@
+"""Scheme tests: quantized linears vs dequantized-autodiff references.
+
+Covers the SURVEY.md §4 implication list: (b) round-trip, (c) gradient
+checks of the custom-VJP linears vs autodiff on dequantized weights.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantized_training_tpu import quant
+from quantized_training_tpu.quant import bitnet as bitnet_mod
+from quantized_training_tpu.quant import core
+
+
+def _loss(out):
+    return (out.astype(jnp.float32) ** 2).sum()
+
+
+class TestMixedPrecision:
+    def _setup(self, **cfg_kwargs):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        x = jax.random.normal(k1, (16, 64), jnp.float32)
+        w = jax.random.normal(k2, (32, 64), jnp.float32) * 0.1
+        cfg = quant.MixedPrecisionConfig(**cfg_kwargs)
+        return x, w, quant.MixedPrecisionWeight(w, cfg)
+
+    def test_all_bf16_exact(self):
+        x, w, qw = self._setup(output=False, grad_input=False, grad_weight=False)
+        out = quant.qlinear(x, qw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x @ w.T), rtol=1e-6)
+        gx, gw = jax.grad(lambda x, qw: _loss(quant.qlinear(x, qw)), argnums=(0, 1))(x, qw)
+        gx_ref, gw_ref = jax.grad(lambda x, w: _loss(x @ w.T), argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw.data), np.asarray(gw_ref), rtol=1e-5)
+
+    @pytest.mark.parametrize("dtype", ["int8", "int4"])
+    def test_quantized_close_to_fp(self, dtype):
+        x, w, qw = self._setup(dtype=dtype)
+        out = quant.qlinear(x, qw)
+        ref = x @ w.T
+        rel = jnp.abs(out.astype(jnp.float32) - ref).mean() / jnp.abs(ref).mean()
+        assert rel < (0.02 if dtype == "int8" else 0.15), rel
+
+        gx, gw = jax.grad(lambda x, qw: _loss(quant.qlinear(x, qw)), argnums=(0, 1))(x, qw)
+        gx_ref, gw_ref = jax.grad(lambda x, w: _loss(x @ w.T), argnums=(0, 1))(x, w)
+        for g, gr in [(gx, gx_ref), (gw.data, gw_ref)]:
+            rel = jnp.abs(g - gr).mean() / jnp.abs(gr).mean()
+            assert rel < (0.05 if dtype == "int8" else 0.3), rel
+
+    def test_sr_runs_and_is_keyed(self):
+        x, w, qw = self._setup(stochastic_rounding=True)
+        o1 = quant.qlinear(x, qw, key=jax.random.PRNGKey(1))
+        o2 = quant.qlinear(x, qw, key=jax.random.PRNGKey(2))
+        o1b = quant.qlinear(x, qw, key=jax.random.PRNGKey(1))
+        assert not np.array_equal(np.asarray(o1), np.asarray(o2))
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o1b))
+
+    def test_bias(self):
+        x, w, qw = self._setup(output=False, grad_input=False, grad_weight=False)
+        b = jnp.arange(32, dtype=jnp.float32)
+        out = quant.qlinear(x, qw, b)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x @ w.T + b), rtol=1e-6)
+
+    def test_batch_dims(self):
+        x, w, qw = self._setup()
+        x3 = x.reshape(4, 4, 64)
+        out = quant.qlinear(x3, qw)
+        assert out.shape == (4, 4, 32)
+
+
+class TestInt8QT:
+    def _setup(self, activation="none"):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        x = jax.random.normal(k1, (16, 64), jnp.float32)
+        w = jax.random.normal(k2, (32, 64), jnp.float32) * 0.1
+        qw = quant.Int8Weight.from_float(w, quant.Int8QTConfig(activation))
+        return x, qw
+
+    def test_weight_only_forward(self):
+        x, qw = self._setup("none")
+        out = quant.qlinear(x, qw)
+        ref = x @ qw.dequantize().T
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    def test_dynamic_act_forward(self):
+        x, qw = self._setup("int8")
+        out = quant.qlinear(x, qw)
+        ref = x @ qw.dequantize().T
+        rel = jnp.abs(out - ref).mean() / jnp.abs(ref).mean()
+        assert rel < 0.02, rel
+
+    def test_grads_route_to_master(self):
+        x, qw = self._setup("int8")
+        master = qw.dequantize()
+
+        def loss(x, master):
+            import dataclasses
+
+            qw2 = dataclasses.replace(qw, master=master)
+            return _loss(quant.qlinear(x, qw2))
+
+        gx, gm = jax.grad(loss, argnums=(0, 1))(x, master)
+        # reference bwd: grad_input = (g*scale.T) @ int_data; grad_w = g.T @ x
+        out = quant.qlinear(x, quant.Int8Weight(qw.int_data, qw.scale, master, qw.config))
+        g = 2 * out
+        gx_ref = (g * qw.scale.reshape(1, -1)) @ qw.int_data.astype(jnp.float32)
+        gm_ref = g.T @ x
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(gm_ref), rtol=1e-4, atol=1e-4)
+
+
+class TestInt4WO:
+    def test_forward_and_grads(self):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+        x = jax.random.normal(k1, (8, 64), jnp.float32)
+        w = jax.random.normal(k2, (32, 64), jnp.float32)
+        qw = quant.Int4Weight.from_float(w, group_size=32)
+        assert qw.shape == (32, 64)
+        out = quant.qlinear(x, qw)
+        deq = qw.dequantize()
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x @ deq.T), rtol=1e-5, atol=1e-5)
+
+        import dataclasses
+
+        def loss(x, master):
+            return _loss(quant.qlinear(x, dataclasses.replace(qw, master=master)))
+
+        gx, gm = jax.grad(loss, argnums=(0, 1))(x, deq)
+        g = 2 * (x @ deq.T)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(g @ deq), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(g.T @ x), rtol=1e-4, atol=1e-4)
+
+    def test_stacked_layer_dims(self):
+        w = jax.random.normal(jax.random.PRNGKey(3), (4, 16, 64))
+        qw = quant.Int4Weight.from_float(w, group_size=32)
+        assert qw.packed.shape == (4, 32, 16)
+        deq = qw.dequantize()
+        assert deq.shape == (4, 16, 64)
+        err = jnp.abs(deq - w).max()
+        assert err < float(qw.scale.max()) / 2 + 1e-6
+
+
+class TestBitNet:
+    def test_forward_matches_manual(self):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+        x = jax.random.normal(k1, (8, 64), jnp.float32)
+        w = jax.random.normal(k2, (32, 64), jnp.float32) * 0.05
+        out = quant.qlinear(x, quant.BitNetWeight(w))
+
+        x_i8, row_scale = core.quantize_int8(x, eps=1e-5)
+        ts = core.get_bitnet_scale(w)
+        w_i8 = core.quantize_bitnet_weight(w, ts)
+        ref = (
+            (x_i8.astype(jnp.float32) @ w_i8.astype(jnp.float32).T)
+            * row_scale
+            * ts
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+    def test_grads_match_reference_formulas(self):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+        x = jax.random.normal(k1, (8, 64), jnp.float32)
+        w = jax.random.normal(k2, (32, 64), jnp.float32) * 0.05
+
+        def loss(x, bw):
+            return _loss(quant.qlinear(x, bw))
+
+        gx, gw = jax.grad(loss, argnums=(0, 1))(x, quant.BitNetWeight(w))
+
+        x_i8, row_scale = core.quantize_int8(x, eps=1e-5)
+        ts = core.get_bitnet_scale(w)
+        w_i8 = core.quantize_bitnet_weight(w, ts)
+        out = (x_i8.astype(jnp.float32) @ w_i8.astype(jnp.float32).T) * row_scale * ts
+        g = 2 * out
+        gx_ref = (g @ w_i8.astype(jnp.float32)) * ts
+        gw_ref = g.T @ (x_i8.astype(jnp.float32) * row_scale)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gw.data), np.asarray(gw_ref), rtol=1e-3, atol=1e-3)
+
+    def test_packed_weight_roundtrip(self):
+        w = jax.random.normal(jax.random.PRNGKey(6), (16, 64)) * 0.05
+        pw = bitnet_mod.BitNetPackedWeight.from_weight(w)
+        assert pw.packed.shape == (16, 16)
+        ts = core.get_bitnet_scale(w)
+        ref = core.quantize_bitnet_weight(w, ts).astype(jnp.float32) * ts.astype(jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(pw.dequantize(), np.float32), np.asarray(ref), rtol=1e-2
+        )
+
+    def test_packed_linear_matches_unpacked(self):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+        x = jax.random.normal(k1, (8, 64), jnp.float32)
+        w = jax.random.normal(k2, (32, 64), jnp.float32) * 0.05
+        out_train = quant.qlinear(x, quant.BitNetWeight(w))
+        out_packed = quant.qlinear(x, bitnet_mod.BitNetPackedWeight.from_weight(w))
+        np.testing.assert_allclose(
+            np.asarray(out_train), np.asarray(out_packed), rtol=1e-3, atol=1e-3
+        )
+
+
+class TestParamsAPI:
+    def _params(self):
+        k = jax.random.PRNGKey(8)
+        return {
+            "embed": {"embedding": jax.random.normal(k, (100, 32))},
+            "layers": {
+                "q": {"w": jax.random.normal(k, (2, 32, 32)) * 0.1},
+                "norm": {"g": jnp.ones((2, 32))},
+            },
+        }
+
+    @pytest.mark.parametrize(
+        "scheme,wrapper",
+        [
+            ("mixed_precision", quant.MixedPrecisionWeight),
+            ("int8_quantized_training", quant.Int8Weight),
+            ("int4_weight_only", quant.Int4Weight),
+            ("bitnet", quant.BitNetWeight),
+        ],
+    )
+    def test_quantize_params_wraps_only_linear_w(self, scheme, wrapper):
+        qp = quant.quantize_params(self._params(), scheme)
+        assert isinstance(qp["layers"]["q"]["w"], wrapper)
+        assert not quant.is_quant_weight(qp["embed"]["embedding"])
+        assert not quant.is_quant_weight(qp["layers"]["norm"]["g"])
+
+    def test_none_scheme_noop(self):
+        p = self._params()
+        assert quant.quantize_params(p, None) is p
+
+    def test_master_cycle_int8(self):
+        qp = quant.quantize_params(self._params(), "int8_quantized_training")
+        vp = quant.virtual_params(qp)
+        # masters are dequantized floats
+        assert vp["layers"]["q"]["w"].dtype == jnp.float32
+        merged = quant.merge_masters(vp, qp)
+        assert merged["layers"]["q"]["w"].master is not None
+        # commit re-quantizes with SR; repeated commits stay near the value
+        new_qp = quant.commit_params(vp, qp, jax.random.PRNGKey(0))
+        deq_err = jnp.abs(
+            quant.virtual_params(new_qp)["layers"]["q"]["w"]
+            - vp["layers"]["q"]["w"]
+        ).max()
+        assert deq_err < float(qp["layers"]["q"]["w"].scale.max()) + 1e-6
+
+    def test_master_cycle_preserves_plain_leaves(self):
+        qp = quant.quantize_params(self._params(), "mixed_precision")
+        vp = quant.virtual_params(qp)
+        new_qp = quant.commit_params(vp, qp, jax.random.PRNGKey(0))
+        assert isinstance(new_qp["layers"]["q"]["w"], quant.MixedPrecisionWeight)
+        np.testing.assert_array_equal(
+            np.asarray(new_qp["embed"]["embedding"]),
+            np.asarray(qp["embed"]["embedding"]),
+        )
