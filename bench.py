@@ -1,0 +1,138 @@
+"""Headline benchmark: INT8 mixed-precision Llama pretrain tokens/s/chip.
+
+Mirrors the reference's benchmark methodology (README.md:123-137,
+llm_pretrain.py:228-237 tokens/sec logging): Llama-1B-class model at
+seq_len 2048, full train step (fwd + bwd + AdamW), INT8 dynamic row-wise
+quantization on the forward and BOTH backward matmuls vs the BF16 baseline.
+
+Timing note: the benchmark loop runs DEVICE-SIDE (lax.scan over train
+steps inside one jit) and times a single synchronized call — host-side
+per-step timing is unreliable through the remote-execution tunnel used in
+this environment.
+
+Prints ONE JSON line:
+  value        = INT8-MP training tokens/sec on this chip
+  vs_baseline  = (our INT8/BF16 speedup) / 1.68   [the reference's best
+                 INT8-vs-BF16 speedup on its own hardware, README.md:134]
+
+Diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+N_STEPS = 10
+
+
+def build_many_steps(cfg_name: str, bs: int, seq: int, scheme: str | None):
+    import dataclasses
+
+    from quantized_training_tpu import optim, quant
+    from quantized_training_tpu.models import llama
+    from quantized_training_tpu.train import init_train_state, make_train_step
+
+    cfg = {"llama2-1b": llama.LLAMA2_1B, "llama2-470m": llama.LLAMA2_470M}[cfg_name]
+    cfg = dataclasses.replace(cfg, max_position_embeddings=seq, remat=True)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quant.quantize_params(params, scheme)
+    optimizer = optim.adamw_bf16_sr(bf16_stochastic_rounding=False)
+    state = init_train_state(qparams, optimizer)
+    step_fn = make_train_step(cfg, optimizer, jit_compile=False)
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(1), (bs, seq), 0, cfg.vocab_size, dtype=jnp.int32
+    )
+    labels = jnp.roll(tokens, -1, axis=-1)
+
+    @jax.jit
+    def many(state, key):
+        def body(carry, i):
+            st, _ = carry
+            st, m = step_fn(st, tokens, labels, 1e-4, jax.random.fold_in(key, i))
+            return (st, m["loss"]), None
+        (state, loss), _ = jax.lax.scan(
+            body, (state, jnp.zeros((), jnp.float32)), jnp.arange(N_STEPS)
+        )
+        return state, loss
+
+    return state, many
+
+
+def measure(cfg_name: str, bs: int, seq: int, scheme: str | None) -> float:
+    state, many = build_many_steps(cfg_name, bs, seq, scheme)
+    key = jax.random.PRNGKey(2)
+    state, loss = many(state, key)  # compile + warm
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    state, loss = many(state, jax.random.fold_in(key, 1))
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    assert jnp.isfinite(loss), float(loss)
+    return bs * seq * N_STEPS / dt
+
+
+def try_measure(cfg_name, bs_candidates, seq, scheme):
+    for bs in bs_candidates:
+        try:
+            toks = measure(cfg_name, bs, seq, scheme)
+            log(f"{cfg_name} bs={bs} {scheme or 'bf16'}: {toks:,.0f} tok/s")
+            return toks, bs
+        except Exception as e:  # OOM or compile failure -> smaller batch
+            log(f"bs={bs} {scheme or 'bf16'}: {type(e).__name__}: {str(e)[:160]}")
+    return None, None
+
+
+def main():
+    seq = 2048
+    cfg_name = "llama2-1b"
+    bs_candidates = [16, 8, 4]
+
+    log(f"benchmarking {cfg_name} seq={seq} on {jax.devices()[0].device_kind}")
+    int8_toks, bs = try_measure(cfg_name, bs_candidates, seq, "mixed_precision")
+    if int8_toks is None:
+        cfg_name = "llama2-470m"
+        int8_toks, bs = try_measure(cfg_name, bs_candidates, seq, "mixed_precision")
+    if int8_toks is None:
+        log("FATAL: could not measure int8 mixed-precision at any batch size")
+        sys.exit(1)
+    bf16_toks, bf16_bs = try_measure(
+        cfg_name, [b for b in bs_candidates if b <= bs], seq, None
+    )
+
+    speedup = int8_toks / bf16_toks if bf16_toks else float("nan")
+    log(
+        f"RESULT {cfg_name} bs={bs}: bf16={bf16_toks:,.0f} tok/s  "
+        f"int8_mp={int8_toks:,.0f} tok/s  speedup={speedup:.3f}x "
+        f"(reference best: 1.68x)"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"{cfg_name}_int8_mixed_precision_train_tokens_per_sec_per_chip",
+                "value": round(int8_toks, 1),
+                "unit": "tok/s",
+                "vs_baseline": round(speedup / 1.68, 4),
+                "detail": {
+                    "bf16_tokens_per_sec": round(bf16_toks, 1) if bf16_toks else None,
+                    "int8_vs_bf16_speedup": round(speedup, 4),
+                    "batch_size": bs,
+                    "seq_len": seq,
+                    "device": str(jax.devices()[0].device_kind),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -8,8 +8,9 @@ rounding low-precision optimizers, and pjit/shard_map distribution
 (DP / FSDP with a quantized 2-bit all-gather) over TPU meshes.
 """
 
-from . import ops, quant
+from . import data, models, ops, optim, parallel, quant, utils
+from . import train as training
 
 __version__ = "0.1.0"
 
-__all__ = ["ops", "quant", "__version__"]
+__all__ = ["ops", "quant", "models", "optim", "data", "utils", "training", "__version__"]

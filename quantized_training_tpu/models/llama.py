@@ -1,0 +1,269 @@
+"""Pure-JAX Llama for quantized pretraining/finetuning.
+
+TPU-first re-design of the reference's model path (the reference uses HF
+``LlamaForCausalLM``, llm_pretrain.py:100-120): a functional param-pytree
+model whose decoder stack runs under ``lax.scan`` (one compiled layer body,
+stacked [L, ...] weights — this is also what makes per-layer FSDP sharding
+and quantized-wrapper stacking free).
+
+Parity details kept from the reference training setup:
+  - RoPE tables/rotation in fp32 while weights are bf16
+    (llm_pretrain.py:115-119 keeps ``rotary_emb.inv_freq`` fp32)
+  - RMSNorm computes in fp32, scales in the weight dtype (HF LlamaRMSNorm)
+  - fp32 softmax in attention; logits cast to fp32 for the loss
+    (llm_pretrain.py:30-35)
+  - ``bitnet=True`` reproduces the RMSNorm-into-linear surgery of
+    train_utils.py:47-71: q/k/v and gate/up consume the existing pre-norms
+    and NEW norms are inserted before o_proj and down_proj
+  - config loadable from the mini_llamas HF-format config.json
+    (mini_llamas/Llama-2-470m/config.json)
+
+Every linear weight leaf lives under a dict key ``"w"`` with shape
+[out, in] (stacked: [L, out, in]) so ``quant.quantize_params`` wraps them.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, replace
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from ..quant import qlinear
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 16
+    max_position_embeddings: int = 2048
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    tie_word_embeddings: bool = False
+    bitnet: bool = False  # RMSNorm-into-linear surgery (train_utils.py:47-71)
+    remat: bool = False  # activation checkpointing per decoder layer
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_hf_json(cls, path_or_dict, **overrides) -> "LlamaConfig":
+        """Load from an HF-format config.json (the mini_llamas contract)."""
+        if isinstance(path_or_dict, (str, Path)):
+            with open(Path(path_or_dict) / "config.json" if Path(path_or_dict).is_dir() else path_or_dict) as f:
+                d = json.load(f)
+        else:
+            d = dict(path_or_dict)
+        keys = {
+            "vocab_size",
+            "hidden_size",
+            "intermediate_size",
+            "num_hidden_layers",
+            "num_attention_heads",
+            "num_key_value_heads",
+            "max_position_embeddings",
+            "rms_norm_eps",
+            "rope_theta",
+            "tie_word_embeddings",
+        }
+        kwargs = {k: v for k, v in d.items() if k in keys}
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+
+# Llama-2-470m (mini_llamas/Llama-2-470m/config.json)
+LLAMA2_470M = LlamaConfig()
+# Llama2-1B: the README throughput-benchmark model (README.md:123-128 uses
+# a 1B llama at bs16/seq2048); standard 1.1B TinyLlama geometry.
+LLAMA2_1B = LlamaConfig(
+    hidden_size=2048,
+    intermediate_size=5632,
+    num_hidden_layers=22,
+    num_attention_heads=32,
+    num_key_value_heads=4,
+)
+
+
+def init_params(key: Array, cfg: LlamaConfig, dtype=jnp.bfloat16):
+    """HF-style init: normal(0.02) for weights, ones for norms."""
+    H, D = cfg.num_attention_heads * cfg.head_dim, cfg.hidden_size
+    KV = cfg.num_key_value_heads * cfg.head_dim
+    F, L, V = cfg.intermediate_size, cfg.num_hidden_layers, cfg.vocab_size
+
+    keys = iter(jax.random.split(key, 16))
+
+    def w(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
+
+    layers = {
+        "attn_norm": {"g": jnp.ones((L, D), dtype)},
+        "q": {"w": w(next(keys), (L, H, D))},
+        "k": {"w": w(next(keys), (L, KV, D))},
+        "v": {"w": w(next(keys), (L, KV, D))},
+        "o": {"w": w(next(keys), (L, D, H))},
+        "mlp_norm": {"g": jnp.ones((L, D), dtype)},
+        "gate": {"w": w(next(keys), (L, F, D))},
+        "up": {"w": w(next(keys), (L, F, D))},
+        "down": {"w": w(next(keys), (L, D, F))},
+    }
+    if cfg.bitnet:
+        layers["o_norm"] = {"g": jnp.ones((L, H), dtype)}
+        layers["down_norm"] = {"g": jnp.ones((L, F), dtype)}
+
+    params = {
+        "embed": {"embedding": w(next(keys), (V, D))},
+        "layers": layers,
+        "final_norm": {"g": jnp.ones((D,), dtype)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"w": w(next(keys), (V, D))}
+    return params
+
+
+def rms_norm(x: Array, g: Array, eps: float) -> Array:
+    """fp32 math, weight applied in its own dtype (HF LlamaRMSNorm)."""
+    xf = x.astype(jnp.float32)
+    xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return xf.astype(x.dtype) * g
+
+
+def rope_tables(cfg: LlamaConfig, seq_len: int) -> tuple[Array, Array]:
+    """fp32 cos/sin tables [S, head_dim]."""
+    hd = cfg.head_dim
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
+    )
+    t = jnp.arange(seq_len, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)  # [S, hd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
+    """x: [B, S, H, hd]; rotate-half convention, fp32 math."""
+    xf = x.astype(jnp.float32)
+    half = x.shape[-1] // 2
+    x1, x2 = xf[..., :half], xf[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    return (xf * c + rotated * s).astype(x.dtype)
+
+
+def attention(q: Array, k: Array, v: Array) -> Array:
+    """Causal GQA attention; fp32 scores/softmax, bf16 value matmul.
+
+    q: [B, S, H, hd], k/v: [B, S, KV, hd] -> [B, S, H, hd]
+    """
+    B, S, H, hd = q.shape
+    KV = k.shape[2]
+    if KV != H:
+        rep = H // KV
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+    scores = jnp.einsum(
+        "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
+    ) * (hd**-0.5)
+    mask = jnp.tril(jnp.ones((S, S), bool))
+    scores = jnp.where(mask, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhst,bthd->bshd", probs, v)
+
+
+def _decoder_layer(cfg: LlamaConfig, x, lp, cos, sin, key):
+    """One decoder layer. lp = per-layer param slice; key for SR quant."""
+    B, S, D = x.shape
+    H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    def lkey(i):
+        return jax.random.fold_in(key, i)
+
+    h = rms_norm(x, lp["attn_norm"]["g"], cfg.rms_norm_eps)
+    q = qlinear(h, lp["q"]["w"], key=lkey(0)).reshape(B, S, H, hd)
+    k = qlinear(h, lp["k"]["w"], key=lkey(1)).reshape(B, S, KV, hd)
+    v = qlinear(h, lp["v"]["w"], key=lkey(2)).reshape(B, S, KV, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    ctx = attention(q, k, v).reshape(B, S, H * hd)
+    if cfg.bitnet:
+        ctx = rms_norm(ctx, lp["o_norm"]["g"], cfg.rms_norm_eps)
+    x = x + qlinear(ctx, lp["o"]["w"], key=lkey(3))
+
+    h = rms_norm(x, lp["mlp_norm"]["g"], cfg.rms_norm_eps)
+    gate = qlinear(h, lp["gate"]["w"], key=lkey(4))
+    up = qlinear(h, lp["up"]["w"], key=lkey(5))
+    act = jax.nn.silu(gate) * up
+    if cfg.bitnet:
+        act = rms_norm(act, lp["down_norm"]["g"], cfg.rms_norm_eps)
+    x = x + qlinear(act, lp["down"]["w"], key=lkey(6))
+    return x
+
+
+def forward(params, tokens: Array, cfg: LlamaConfig, key: Array | None = None):
+    """tokens [B, S] int32 -> logits [B, S, V] (model dtype; cast for loss).
+
+    ``key`` seeds stochastic rounding inside quantized linears (unused for
+    deterministic schemes).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    B, S = tokens.shape
+    x = params["embed"]["embedding"][tokens]
+    cos, sin = rope_tables(cfg, S)
+
+    layer_body = partial(_decoder_layer, cfg)
+    if cfg.remat:
+        layer_body = jax.checkpoint(layer_body)
+
+    def scan_fn(x, inputs):
+        lp, lkey = inputs
+        return layer_body(x, lp, cos, sin, lkey), None
+
+    layer_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        jnp.arange(cfg.num_hidden_layers)
+    )
+    x, _ = jax.lax.scan(scan_fn, x, (params["layers"], layer_keys))
+
+    x = rms_norm(x, params["final_norm"]["g"], cfg.rms_norm_eps)
+    lm_w = (
+        params["embed"]["embedding"]
+        if cfg.tie_word_embeddings
+        else params["lm_head"]["w"]
+    )
+    return qlinear(x, lm_w, key=jax.random.fold_in(key, 0x7FFFFFFF))
+
+
+def loss_fn(params, tokens: Array, labels: Array, cfg: LlamaConfig, key=None):
+    """fp32 token-mean cross entropy (llm_pretrain.py:30-35).
+
+    labels == -100 are ignored (the padding convention of the finetune
+    driver, llm_finetune.py).
+    """
+    logits = forward(params, tokens, cfg, key).astype(jnp.float32)
+    V = logits.shape[-1]
+    logits = logits.reshape(-1, V)
+    labels = labels.reshape(-1)
+    valid = labels != -100
+    safe_labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[:, None], axis=-1)[:, 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return nll.sum() / jnp.maximum(valid.sum(), 1)
+
+
+def num_params(params) -> int:
+    import numpy as np
+
+    leaves = jax.tree.leaves(params)
+    return int(sum(np.prod(l.shape) for l in leaves))

@@ -22,6 +22,15 @@ def set_backend(name: str) -> None:
     _BACKEND = name
 
 
+def _pallas_available() -> bool:
+    try:
+        from . import pallas_mm  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def backend() -> str:
     """Resolve the effective backend ('xla' or 'pallas')."""
     if _BACKEND != "auto":
@@ -30,7 +39,7 @@ def backend() -> str:
         platform = jax.default_backend()
     except Exception:
         platform = "cpu"
-    return "pallas" if platform == "tpu" else "xla"
+    return "pallas" if platform == "tpu" and _pallas_available() else "xla"
 
 
 @contextlib.contextmanager
