@@ -20,6 +20,7 @@ Diagnostics go to stderr.
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -54,7 +55,7 @@ def build_many_steps(cfg_name: str, bs: int, seq: int, scheme: str | None):
     )
     labels = jnp.roll(tokens, -1, axis=-1)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def many(state, key):
         def body(carry, i):
             st, _ = carry
@@ -69,45 +70,48 @@ def build_many_steps(cfg_name: str, bs: int, seq: int, scheme: str | None):
 
 
 def measure(cfg_name: str, bs: int, seq: int, scheme: str | None) -> float:
+    t0 = time.perf_counter()
     state, many = build_many_steps(cfg_name, bs, seq, scheme)
     key = jax.random.PRNGKey(2)
     state, loss = many(state, key)  # compile + warm
-    jax.block_until_ready(loss)
+    l0 = float(loss)  # force real completion (readback)
+    log(f"  compile+warm {time.perf_counter() - t0:.0f}s, loss={l0:.3f}")
     t0 = time.perf_counter()
     state, loss = many(state, jax.random.fold_in(key, 1))
-    jax.block_until_ready(loss)
+    l1 = float(loss)
     dt = time.perf_counter() - t0
-    assert jnp.isfinite(loss), float(loss)
+    assert jnp.isfinite(l1), l1
     return bs * seq * N_STEPS / dt
 
 
-def try_measure(cfg_name, bs_candidates, seq, scheme):
-    for bs in bs_candidates:
+def try_measure(configs, scheme):
+    """configs: list of (cfg_name, bs, seq); first success wins.
+
+    Compile is ~5-8 min per program through this environment's remote
+    tunnel (no persistent cache), so attempts are precious.
+    """
+    for cfg_name, bs, seq in configs:
         try:
+            log(f"measuring {cfg_name} bs={bs} {scheme or 'bf16'} ...")
             toks = measure(cfg_name, bs, seq, scheme)
             log(f"{cfg_name} bs={bs} {scheme or 'bf16'}: {toks:,.0f} tok/s")
-            return toks, bs
-        except Exception as e:  # OOM or compile failure -> smaller batch
-            log(f"bs={bs} {scheme or 'bf16'}: {type(e).__name__}: {str(e)[:160]}")
+            return toks, (cfg_name, bs, seq)
+        except Exception as e:  # OOM or compile failure -> next config
+            log(f"{cfg_name} bs={bs} {scheme or 'bf16'}: {type(e).__name__}: {str(e)[:160]}")
     return None, None
 
 
 def main():
     seq = 2048
-    cfg_name = "llama2-1b"
-    bs_candidates = [16, 8, 4]
+    configs = [("llama2-1b", 8, seq), ("llama2-1b", 4, seq), ("llama2-470m", 8, seq)]
 
-    log(f"benchmarking {cfg_name} seq={seq} on {jax.devices()[0].device_kind}")
-    int8_toks, bs = try_measure(cfg_name, bs_candidates, seq, "mixed_precision")
+    log(f"benchmarking on {jax.devices()[0].device_kind}")
+    int8_toks, chosen = try_measure(configs, "mixed_precision")
     if int8_toks is None:
-        cfg_name = "llama2-470m"
-        int8_toks, bs = try_measure(cfg_name, bs_candidates, seq, "mixed_precision")
-    if int8_toks is None:
-        log("FATAL: could not measure int8 mixed-precision at any batch size")
+        log("FATAL: could not measure int8 mixed-precision at any config")
         sys.exit(1)
-    bf16_toks, bf16_bs = try_measure(
-        cfg_name, [b for b in bs_candidates if b <= bs], seq, None
-    )
+    cfg_name, bs, seq = chosen
+    bf16_toks, _ = try_measure([chosen], None)
 
     speedup = int8_toks / bf16_toks if bf16_toks else float("nan")
     log(

@@ -1,0 +1,225 @@
+"""GEMM benchmark + correctness harness (benchmark_mm.py analog).
+
+Methodology parity with the reference: every kernel is asserted against the
+fp32 oracle BEFORE timing (benchmark_mm.py:98-107), shapes swept over
+1k/2k/4k squares (:209+), results reported as TFLOPS alongside the
+device's theoretical peak (v5e MXU: 197 bf16 TFLOPS, 394 int8 TOPS).
+
+TPU-specific: the timing loop runs device-side (fori_loop chaining the
+output into the next iteration) because host-side timing is unreliable
+through remote-execution tunnels; each timed program is called twice
+(compile+warm, then timed with a forced readback).
+
+Usage: python benchmark_mm.py [--sizes 1024 2048 4096] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quantized_training_tpu import ops
+from quantized_training_tpu.ops import pallas_mm
+from quantized_training_tpu.quant import core
+
+PEAKS = {"bf16": 197.0, "int8": 394.0}  # TPU v5e
+
+
+def device_loop_tflops(fn, args, flops_per_iter: float, n_iters: int = 200) -> float:
+    """Time fn(*args) repeated n_iters times device-side; returns TFLOPS.
+
+    Anti-DCE/anti-hoist chaining: every iteration fully reduces the output
+    into a scalar (so no output column can be dead-code-eliminated) and
+    perturbs the first input with a value-preserving function of that
+    scalar (so the op is not loop-invariant and cannot be hoisted).
+    """
+
+    @jax.jit
+    def many(x0, *rest):
+        def body(i, carry):
+            x, acc = carry
+            out = fn(x, *rest)
+            s = jnp.sum(out.astype(jnp.float32) * 1e-12)  # consumes all
+            # data dependency that never changes values (s is never NaN)
+            # but cannot be folded away by the compiler
+            x = x + jnp.where(jnp.isnan(s), 1, 0).astype(x.dtype)
+            return (x, acc + s)
+
+        return jax.lax.fori_loop(0, n_iters, body, (x0, jnp.zeros((), jnp.float32)))
+
+    (xf, acc) = many(*args)
+    _ = float(acc)  # compile+warm with readback
+    t0 = time.perf_counter()
+    (xf, acc) = many(*args)
+    _ = float(acc)
+    dt = time.perf_counter() - t0
+    return flops_per_iter * n_iters / dt / 1e12
+
+
+def check(name, actual, ref, atol, rtol):
+    np.testing.assert_allclose(
+        np.asarray(actual, np.float32), np.asarray(ref, np.float32),
+        atol=atol, rtol=rtol, err_msg=name,
+    )
+
+
+def bench_size(n: int, quick: bool) -> dict[str, float]:
+    """Square matmuls A[n,n] @ B[n,n] like the reference tables."""
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    a_bf = jax.random.normal(ks[0], (n, n), jnp.bfloat16)
+    b_bf = jax.random.normal(ks[1], (n, n), jnp.bfloat16)
+    a_i8, sa = core.quantize_int8(a_bf.astype(jnp.float32), axis=1)
+    b_i8, sb = core.quantize_int8(b_bf.astype(jnp.float32), axis=0)
+    sa32, sb32 = sa.astype(jnp.float32), sb.astype(jnp.float32)
+    flops = 2.0 * n * n * n
+    res = {}
+
+    # --- correctness gates (reference: assert before timing) ---
+    # exact oracle: int8 MXU accumulation is exact in int32, so the scale
+    # epilogue applied to the exact int32 product is the ground truth
+    # (fp32 'highest' matmuls are unsupported/crashy on this backend)
+    acc_exact = jax.lax.dot_general(
+        a_i8, b_i8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    oracle = acc_exact * sa32 * sb32
+    with ops.use_backend("xla"):
+        check("xla scaled_mm", ops.scaled_mm(a_i8, b_i8, sa32, sb32, out_dtype=jnp.float32), oracle, 0.5, 1e-2)
+    check(
+        "pallas scaled_mm",
+        pallas_mm.scaled_mm(a_i8, b_i8, sa32, sb32, out_dtype=jnp.float32),
+        oracle, 0.5, 1e-2,
+    )
+    sa_t = jax.random.uniform(ks[2], (n // 128, n // 128), jnp.float32) * 0.01
+    sb_t = jax.random.uniform(ks[3], (n // 128, n // 128), jnp.float32) * 0.01
+    qblk = n // 128
+    # exact tile oracle: blockwise-exact int32 partials x expanded scales
+    a3 = a_i8.reshape(n, qblk, 128).transpose(1, 0, 2)
+    b3 = b_i8.reshape(qblk, 128, n)
+    part = jax.lax.dot_general(
+        a3, b3, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    tile_oracle = jnp.einsum(
+        "kmn,km,kn->mn",
+        part,
+        jnp.repeat(sa_t, 128, 0).T,
+        jnp.repeat(sb_t, 128, 1),
+    )
+    check(
+        "pallas tile_scaled_mm",
+        pallas_mm.tile_scaled_mm(a_i8, b_i8, sa_t, sb_t, out_dtype=jnp.float32),
+        tile_oracle, 0.5, 1e-2,
+    )
+
+    # --- timing (device-side loops) ---
+    res["xla_bf16"] = device_loop_tflops(
+        lambda a, b: jax.lax.dot(a, b, precision=None, preferred_element_type=jnp.bfloat16),
+        (a_bf, b_bf), flops,
+    )
+    res["xla_int8"] = device_loop_tflops(
+        lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        ),
+        (a_i8, b_i8), flops,
+    )
+
+    def xla_scaled(a, sa_, sb_, b):
+        acc = jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * sa_ * sb_
+
+    res["xla_scaled_int8"] = device_loop_tflops(xla_scaled, (a_i8, sa32, sb32, b_i8), flops)
+    res["pallas_scaled_int8"] = device_loop_tflops(
+        lambda a, sa_, sb_, b: pallas_mm.scaled_mm(a, b, sa_, sb_, out_dtype=jnp.float32),
+        (a_i8, sa32, sb32, b_i8), flops,
+    )
+    res["pallas_tile_scaled_int8"] = device_loop_tflops(
+        lambda a, sa_, sb_, b: pallas_mm.tile_scaled_mm(a, b, sa_, sb_, out_dtype=jnp.float32),
+        (a_i8, sa_t, sb_t, b_i8), flops,
+    )
+    if not quick:
+        res["pallas_bf16"] = device_loop_tflops(
+            lambda a, b: pallas_mm.matmul(a, b, acc_dtype=jnp.float32, out_dtype=jnp.bfloat16),
+            (a_bf, b_bf), flops,
+        )
+        # dynamic-quant int8 including quantization cost (the training path)
+        def dyn(a, b):
+            ai, sa_ = core.quantize_int8(a, axis=1)
+            bi, sb_ = core.quantize_int8(b, axis=0)
+            return ops.scaled_mm(ai, bi, sa_, sb_, out_dtype=jnp.bfloat16)
+
+        with ops.use_backend("xla"):
+            res["xla_dynamic_int8"] = device_loop_tflops(dyn, (a_bf, b_bf), flops)
+    return res
+
+
+def bench_train_shapes():
+    """Time the actual training matmuls of Llama at bs8/seq2048: the
+    dynamic-quant INT8 linear (fwd shape M=B*S) vs plain bf16, including
+    quantization overhead — the fwd hot path of mixed_precision."""
+    from quantized_training_tpu.quant.mixed_precision import _dynamic_int8_mm
+
+    shapes = [
+        ("attn_qkvo 1b", 16384, 2048, 2048),
+        ("mlp_up 1b", 16384, 2048, 5632),
+        ("mlp_down 1b", 16384, 5632, 2048),
+        ("attn 470m", 16384, 1024, 1024),
+        ("mlp_up 470m", 16384, 1024, 4096),
+    ]
+    print("--- training shapes: x[M,K] @ w.T[K,N] (fwd) ---")
+    for name, M, K, N in shapes:
+        ks = jax.random.split(jax.random.PRNGKey(0), 2)
+        x = jax.random.normal(ks[0], (M, K), jnp.bfloat16)
+        w = jax.random.normal(ks[1], (N, K), jnp.bfloat16)
+        flops = 2.0 * M * K * N
+
+        bf16 = device_loop_tflops(
+            lambda x_, w_: x_ @ w_.T, (x, w), flops, n_iters=50,
+        )
+        with ops.use_backend("xla"):
+            dyn = device_loop_tflops(
+                lambda x_, w_: _dynamic_int8_mm(x_, w_.T, False, None),
+                (x, w), flops, n_iters=50,
+            )
+        print(
+            f"  {name:16s} M={M} K={K} N={N}: bf16 {bf16:6.1f}  dyn_int8 {dyn:6.1f} "
+            f" ({dyn / bf16:.2f}x)", flush=True,
+        )
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--sizes", type=int, nargs="+", default=[1024, 2048, 4096])
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--train-shapes", action="store_true")
+    args = p.parse_args()
+
+    if args.train_shapes:
+        print(f"device: {jax.devices()[0].device_kind}")
+        bench_train_shapes()
+        return
+
+    print(f"device: {jax.devices()[0].device_kind}; peaks bf16={PEAKS['bf16']} int8={PEAKS['int8']} TFLOPS")
+    rows = {}
+    for n in args.sizes:
+        print(f"--- {n}x{n}x{n} ---", flush=True)
+        rows[n] = bench_size(n, args.quick)
+        for k, v in rows[n].items():
+            peak = PEAKS["int8"] if "int8" in k else PEAKS["bf16"]
+            print(f"  {k:26s} {v:8.1f} TFLOPS  ({100*v/peak:5.1f}% of peak)", flush=True)
+
+    hdr = ["kernel"] + [str(n) for n in rows]
+    keys = list(next(iter(rows.values())))
+    print("\n| " + " | ".join(hdr) + " |")
+    print("|" + "---|" * len(hdr))
+    for k in keys:
+        print("| " + k + " | " + " | ".join(f"{rows[n].get(k, float('nan')):.1f}" for n in rows) + " |")
+
+
+if __name__ == "__main__":
+    main()

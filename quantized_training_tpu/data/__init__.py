@@ -1,6 +1,14 @@
 """Data pipeline (the data/ analog) — string-keyed dataset factory
 (data/__init__.py:14-21 contract), plus 'synthetic' for zero-egress runs."""
 
+from .image import (
+    HFImageDataset,
+    SyntheticImageDataset,
+    WebDataset,
+    decode_image,
+    eval_transform,
+    train_transform,
+)
 from .shuffle import BatchLoader, ShuffleDataset
 from .text import HFTextDataset, SyntheticTokenDataset, TokenDataset
 from .tokenizers import get_tokenizer
@@ -11,6 +19,9 @@ def get_dataset(type: str, eval: bool = False, **kwargs):
         token=TokenDataset,
         hf_text=HFTextDataset,
         synthetic=SyntheticTokenDataset,
+        hf_image=HFImageDataset,
+        wds=WebDataset,
+        synthetic_image=SyntheticImageDataset,
     )[type]
     return ds_cls(eval=eval, **kwargs)
 
@@ -23,4 +34,10 @@ __all__ = [
     "SyntheticTokenDataset",
     "ShuffleDataset",
     "BatchLoader",
+    "HFImageDataset",
+    "WebDataset",
+    "SyntheticImageDataset",
+    "decode_image",
+    "train_transform",
+    "eval_transform",
 ]

@@ -1,0 +1,322 @@
+"""Pallas MXU matmul kernels — the TPU-native replacement for the
+reference's Triton/CUTLASS GEMMs.
+
+Kernel contracts (behavior parity, TPU-first implementation):
+  - :func:`scaled_mm`: INT8 (or bf16/fp32) tiled matmul with the fused
+    fp32 ``acc * row_scale * col_scale`` epilogue — the workhorse used by
+    int8 / bitnet / mixed-precision schemes (triton_mm.py:146-220
+    semantics, incl. the scalar col-scale BitNet path :211-215).
+  - :func:`tile_scaled_mm`: DeepSeek-style two-accumulator loop — int32
+    partial accumulation per K quant-block, rescaled into an fp32
+    accumulator (triton_mm.py:223-342 semantics).
+  - :func:`matmul`: plain tiled matmul with configurable accumulation
+    dtype (the templated ``_matmul_kernel`` analog, triton_mm.py:53-109).
+
+Design notes (TPU):
+  - grid = (M/BM, N/BN, K/BK) with K innermost; a VMEM scratch carries the
+    accumulator across K steps; the scale epilogue runs once at the last
+    K step. Pallas double-buffers the A/B block DMAs automatically.
+  - int8 blocks use min tile (32, 128); default blocks 256x256x512 keep
+    the MXU busy while staying well under VMEM (~1.5 MB for int8).
+  - Shapes must be multiples of the hardware tile; the wrapper pads
+    (model dims here are all multiples of 128).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+def _acc_dtype(dtype) -> jnp.dtype:
+    return jnp.int32 if dtype == jnp.int8 else jnp.float32
+
+
+def _pad2(x: Array, rows: int, cols: int) -> Array:
+    pr, pc = rows - x.shape[0], cols - x.shape[1]
+    if pr or pc:
+        x = jnp.pad(x, ((0, pr), (0, pc)))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# scaled_mm: fused row x col scale epilogue
+# ---------------------------------------------------------------------------
+
+
+def _scaled_mm_kernel(a_ref, b_ref, sa_ref, sb_ref, out_ref, acc_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        a_ref[:],
+        b_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=acc_ref.dtype,
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        acc = acc_ref[:].astype(jnp.float32)
+        out_ref[:] = (acc * sa_ref[:] * sb_ref[:]).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "block_m", "block_n", "block_k", "interpret"),
+)
+def scaled_mm(
+    a: Array,
+    b: Array,
+    scale_a: Array,
+    scale_b: Array,
+    *,
+    out_dtype=jnp.bfloat16,
+    block_m: int = 256,
+    block_n: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> Array:
+    """A[M,K] @ B[K,N] * row_scale[M,1] * col_scale[1,N] -> out_dtype.
+
+    Tensor-wide scalar scales (shape () or (1,1)) are broadcast to the
+    row/col vectors by the wrapper.
+    """
+    M, K = a.shape
+    N = b.shape[1]
+
+    sa = jnp.broadcast_to(
+        jnp.reshape(scale_a.astype(jnp.float32), (-1, 1)), (M, 1)
+    )
+    sb = jnp.broadcast_to(
+        jnp.reshape(scale_b.astype(jnp.float32), (1, -1)), (1, N)
+    )
+
+    bm, bn, bk = min(block_m, _round_up(M, 128)), min(block_n, _round_up(N, 128)), min(
+        block_k, _round_up(K, 128)
+    )
+    Mp, Np, Kp = _round_up(M, bm), _round_up(N, bn), _round_up(K, bk)
+    a = _pad2(a, Mp, Kp)
+    b = _pad2(b, Kp, Np)
+    sa = _pad2(sa, Mp, 1)
+    sb = _pad2(sb, 1, Np)
+
+    out = pl.pallas_call(
+        _scaled_mm_kernel,
+        grid=(Mp // bm, Np // bn, Kp // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), _acc_dtype(a.dtype))],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * Kp,
+            bytes_accessed=Mp * Kp * a.dtype.itemsize
+            + Kp * Np * b.dtype.itemsize
+            + Mp * Np * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a, b, sa, sb)
+    return out[:M, :N]
+
+
+# ---------------------------------------------------------------------------
+# tile_scaled_mm: two-accumulator DeepSeek-style loop
+# ---------------------------------------------------------------------------
+
+
+def _tile_scaled_mm_kernel(a_ref, b_ref, sa_ref, sb_ref, out_ref, acc_ref):
+    """One K step == one quant block: int32 inner product for this block is
+    rescaled by sa[:, k] x sb[k, :] and accumulated in fp32
+    (triton_mm.py:313-331 v2 loop).
+
+    The per-K-block scales arrive as 3D arrays ([KB, M, 1] / [KB, 1, N])
+    whose leading dim is indexed by the K grid position in the BlockSpec —
+    Mosaic cannot dynamically slice non-128-aligned scale columns in-kernel.
+    """
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    part = jax.lax.dot_general(
+        a_ref[:],
+        b_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32 if a_ref.dtype == jnp.int8 else jnp.float32,
+    )
+    sa_col = sa_ref[0]  # [bm, 1]
+    sb_row = sb_ref[0]  # [1, bn]
+    acc_ref[:] += part.astype(jnp.float32) * sa_col * sb_row
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "block_m", "block_n", "interpret"),
+)
+def tile_scaled_mm(
+    a: Array,
+    b: Array,
+    scale_a: Array,
+    scale_b: Array,
+    *,
+    out_dtype=jnp.bfloat16,
+    block_m: int = 256,
+    block_n: int = 256,
+    interpret: bool = False,
+) -> Array:
+    """Tile-scaled matmul: scale_a [M/QM, K/QK], scale_b [K/QK, N/QN].
+
+    The K block size equals the K quant block (QK), so each grid step
+    applies exactly one pair of block scales. Row/col-expanded scale grids
+    ([M, K/QK] and [K/QK, N] fp32) are materialized by the wrapper — a few
+    hundred KB at LLM shapes.
+    """
+    M, K = a.shape
+    N = b.shape[1]
+    n_qm, n_qk = scale_a.shape
+    n_qk2, n_qn = scale_b.shape
+    assert n_qk == n_qk2 and K % n_qk == 0
+    qk = K // n_qk
+
+    sa_full = jnp.repeat(scale_a.astype(jnp.float32), M // n_qm, axis=0)  # [M, KB]
+    sb_full = jnp.repeat(scale_b.astype(jnp.float32), N // n_qn, axis=1)  # [KB, N]
+    sa3 = sa_full.T[:, :, None]  # [KB, M, 1]
+    sb3 = sb_full[:, None, :]  # [KB, 1, N]
+
+    bm, bn = min(block_m, _round_up(M, 128)), min(block_n, _round_up(N, 128))
+    bk = max(qk, 128)
+    assert bk % qk == 0 and bk == qk, (
+        f"K quant block ({qk}) must be >= 128 and equal the kernel K block"
+    )
+    Mp, Np = _round_up(M, bm), _round_up(N, bn)
+    a = _pad2(a, Mp, K)
+    b = _pad2(b, K, Np)
+    if Mp != M:
+        sa3 = jnp.pad(sa3, ((0, 0), (0, Mp - M), (0, 0)))
+    if Np != N:
+        sb3 = jnp.pad(sb3, ((0, 0), (0, 0), (0, Np - N)))
+
+    out = pl.pallas_call(
+        _tile_scaled_mm_kernel,
+        grid=(Mp // bm, Np // bn, n_qk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm, 1), lambda i, j, k: (k, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(a, b, sa3, sb3)
+    return out[:M, :N]
+
+
+# ---------------------------------------------------------------------------
+# plain matmul with configurable accumulation
+# ---------------------------------------------------------------------------
+
+
+def _matmul_kernel(a_ref, b_ref, out_ref, acc_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        a_ref[:],
+        b_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=acc_ref.dtype,
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("acc_dtype", "out_dtype", "block_m", "block_n", "block_k", "interpret"),
+)
+def matmul(
+    a: Array,
+    b: Array,
+    *,
+    acc_dtype=None,
+    out_dtype=None,
+    block_m: int = 256,
+    block_n: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> Array:
+    M, K = a.shape
+    N = b.shape[1]
+    acc_dtype = acc_dtype or _acc_dtype(a.dtype)
+    out_dtype = out_dtype or acc_dtype
+
+    bm, bn, bk = min(block_m, _round_up(M, 128)), min(block_n, _round_up(N, 128)), min(
+        block_k, _round_up(K, 128)
+    )
+    Mp, Np, Kp = _round_up(M, bm), _round_up(N, bn), _round_up(K, bk)
+    a = _pad2(a, Mp, Kp)
+    b = _pad2(b, Kp, Np)
+
+    out = pl.pallas_call(
+        _matmul_kernel,
+        grid=(Mp // bm, Np // bn, Kp // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), acc_dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(a, b)
+    return out[:M, :N]

@@ -158,6 +158,8 @@ def scaled_mm_ref(
         r = jnp.repeat(s, rows // s.shape[0], axis=0)
         return jnp.repeat(r, cols // s.shape[1], axis=1)
 
-    return (
-        (af * expand(scale_a, M, K)) @ (bf * expand(scale_b, K, N))
+    return jnp.dot(
+        af * expand(scale_a, M, K),
+        bf * expand(scale_b, K, N),
+        precision="highest",  # TPU fp32 matmul is bf16x3 otherwise
     ).astype(out_dtype)

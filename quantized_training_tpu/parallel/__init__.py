@@ -1,3 +1,5 @@
+from .collectives import benchmark_collectives
+from .fsdp import bitnet_fsdp_linear, enable_bitnet_fsdp
 from .mesh import (
     batch_spec,
     make_mesh,
@@ -14,4 +16,7 @@ __all__ = [
     "state_shardings",
     "batch_spec",
     "param_spec",
+    "bitnet_fsdp_linear",
+    "enable_bitnet_fsdp",
+    "benchmark_collectives",
 ]

@@ -136,7 +136,14 @@ def linear(
         out = _bitnet_packed_linear(x2d, w.packed, w.scale)
         out_features = w.shape[0]
     else:
-        out = _bitnet_linear(x2d, w.data, key)
+        from ..parallel import fsdp as _fsdp
+
+        mesh = _fsdp.bitnet_fsdp_mesh()
+        if mesh is not None:
+            # quantized 2-bit FSDP all-gather path (bitnet.py:83-107)
+            out = _fsdp.bitnet_fsdp_linear(x2d, w.data, mesh)
+        else:
+            out = _bitnet_linear(x2d, w.data, key)
         out_features = w.data.shape[0]
 
     out = out.reshape(*batch_dims, out_features)

@@ -1,0 +1,82 @@
+"""Pallas kernel correctness vs the fp32 oracle, run in interpreter mode on
+CPU (the real-TPU path is exercised by benchmark_mm.py on hardware)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantized_training_tpu.ops import pallas_mm, scaled_mm_ref
+
+KW = dict(interpret=True, block_m=128, block_n=128)
+
+
+def _ri8(key, shape):
+    return jax.random.randint(key, shape, -128, 128, dtype=jnp.int8)
+
+
+class TestPallasScaledMM:
+    @pytest.mark.parametrize("m,k,n", [(128, 256, 128), (200, 384, 160)])
+    def test_int8_row_col(self, m, k, n):
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        a, b = _ri8(ks[0], (m, k)), _ri8(ks[1], (k, n))
+        sa = jax.random.uniform(ks[2], (m, 1)) * 0.1
+        sb = jax.random.uniform(ks[3], (1, n)) * 0.1
+        out = pallas_mm.scaled_mm(a, b, sa, sb, out_dtype=jnp.float32, block_k=128, **KW)
+        ref = scaled_mm_ref(a, b, sa, sb)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+    def test_scalar_col_scale_bitnet_mode(self):
+        ks = jax.random.split(jax.random.PRNGKey(1), 3)
+        a, b = _ri8(ks[0], (128, 256)), _ri8(ks[1], (256, 128))
+        sa = jax.random.uniform(ks[2], (128, 1))
+        sb = jnp.float32(0.042)
+        out = pallas_mm.scaled_mm(a, b, sa, sb, out_dtype=jnp.float32, block_k=128, **KW)
+        ref = scaled_mm_ref(a, b, sa, sb)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+    def test_bf16_inputs(self):
+        ks = jax.random.split(jax.random.PRNGKey(2), 2)
+        a = jax.random.normal(ks[0], (128, 256), jnp.bfloat16)
+        b = jax.random.normal(ks[1], (256, 128), jnp.bfloat16)
+        out = pallas_mm.scaled_mm(
+            a, b, jnp.ones((128, 1)), jnp.ones((1, 128)),
+            out_dtype=jnp.float32, block_k=128, **KW,
+        )
+        ref = (a.astype(jnp.float32) @ b.astype(jnp.float32))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+class TestPallasTileScaledMM:
+    def test_int8_tile(self):
+        M, K, N = 256, 512, 256
+        ks = jax.random.split(jax.random.PRNGKey(3), 4)
+        a, b = _ri8(ks[0], (M, K)), _ri8(ks[1], (K, N))
+        sa = jax.random.uniform(ks[2], (M // 128, K // 128)) * 0.1
+        sb = jax.random.uniform(ks[3], (K // 128, N // 128)) * 0.1
+        out = pallas_mm.tile_scaled_mm(a, b, sa, sb, out_dtype=jnp.float32, **KW)
+        ref = scaled_mm_ref(a, b, sa, sb)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+class TestPallasMatmul:
+    def test_int8_exact(self):
+        ks = jax.random.split(jax.random.PRNGKey(4), 2)
+        a, b = _ri8(ks[0], (256, 512)), _ri8(ks[1], (512, 256))
+        out = pallas_mm.matmul(a, b, block_k=256, **KW)
+        ref = np.asarray(a, np.int64) @ np.asarray(b, np.int64)
+        assert out.dtype == jnp.int32
+        np.testing.assert_array_equal(np.asarray(out, np.int64), ref)
+
+    def test_backend_dispatch_uses_pallas(self):
+        from quantized_training_tpu import ops
+
+        ks = jax.random.split(jax.random.PRNGKey(5), 2)
+        a, b = _ri8(ks[0], (128, 128)), _ri8(ks[1], (128, 128))
+        sa, sb = jnp.ones((128, 1)), jnp.ones((1, 128))
+        with ops.use_backend("xla"):
+            ref = ops.scaled_mm(a, b, sa, sb, out_dtype=jnp.float32)
+        # pallas backend on CPU runs compiled pallas lowering when possible;
+        # here just check dispatch plumbing via explicit interpret call
+        out = pallas_mm.scaled_mm(a, b, sa, sb, out_dtype=jnp.float32, block_k=128, **KW)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4)

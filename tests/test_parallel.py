@@ -1,0 +1,153 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh: DP/FSDP sharded
+training, the quantized BitNet FSDP all-gather, and collective benches."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from quantized_training_tpu import optim, quant
+from quantized_training_tpu.models import llama
+from quantized_training_tpu.parallel import (
+    benchmark_collectives,
+    bitnet_fsdp_linear,
+    enable_bitnet_fsdp,
+    make_mesh,
+    param_spec,
+    shard_batch,
+    shard_state,
+)
+from quantized_training_tpu.train import init_train_state, make_train_step
+
+TINY = llama.LlamaConfig(
+    vocab_size=256,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=4,
+    max_position_embeddings=64,
+)
+
+
+def _batch(key, bs=8, seq=32, vocab=256):
+    toks = jax.random.randint(key, (bs, seq + 1), 0, vocab, dtype=jnp.int32)
+    return toks[:, :-1], toks[:, 1:]
+
+
+def _run_steps(state, step, mesh, n=3, bs=8):
+    for i in range(n):
+        tokens, labels = _batch(jax.random.PRNGKey(100 + i), bs=bs)
+        if mesh is not None:
+            tokens, labels = shard_batch((tokens, labels), mesh)
+        state, metrics = step(state, tokens, labels, 1e-3, jax.random.PRNGKey(i))
+    return state, float(metrics["loss"])
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        mesh = make_mesh({"data": 2, "fsdp": 4})
+        assert dict(mesh.shape) == {"data": 2, "fsdp": 4, "model": 1}
+
+    def test_too_many_devices(self):
+        with pytest.raises(ValueError):
+            make_mesh({"data": 64})
+
+    def test_param_spec_rules(self):
+        mesh = make_mesh({"fsdp": 4})
+        assert param_spec(jnp.zeros((2, 128, 64)), mesh) == P(None, "fsdp")
+        assert param_spec(jnp.zeros((2, 65, 64)), mesh) == P(None, None, "fsdp")
+        assert param_spec(jnp.zeros((256, 64)), mesh) == P("fsdp")
+        assert param_spec(jnp.zeros(()), mesh) == P()
+
+
+class TestShardedTraining:
+    @pytest.mark.parametrize("mesh_axes", [{"data": 8}, {"fsdp": 8}, {"data": 2, "fsdp": 4}])
+    def test_sharded_matches_single_device(self, mesh_axes):
+        params = llama.init_params(jax.random.PRNGKey(0), TINY)
+        qparams = quant.quantize_params(params, "mixed_precision")
+        opt = optim.adamw_bf16_sr(bf16_stochastic_rounding=False)
+        step = make_train_step(TINY, opt, donate=False)
+
+        s_ref = init_train_state(qparams, opt)
+        s_ref, loss_ref = _run_steps(s_ref, step, None)
+
+        mesh = make_mesh(mesh_axes)
+        s_sh = shard_state(init_train_state(qparams, opt), mesh)
+        s_sh, loss_sh = _run_steps(s_sh, step, mesh)
+
+        assert abs(loss_ref - loss_sh) < 0.05, (loss_ref, loss_sh)
+        # params stay sharded after the step
+        w = s_sh.params["layers"]["q"]["w"].data
+        assert not w.sharding.is_fully_replicated or mesh_axes == {"data": 8}
+
+    def test_int8_qt_sharded(self):
+        params = llama.init_params(jax.random.PRNGKey(0), TINY)
+        qparams = quant.quantize_params(params, "int8_quantized_training")
+        opt = optim.adamw_bf16_sr(bf16_stochastic_rounding=False)
+        step = make_train_step(TINY, opt, donate=False)
+        mesh = make_mesh({"fsdp": 8})
+        s = shard_state(init_train_state(qparams, opt), mesh)
+        s, loss = _run_steps(s, step, mesh)
+        assert np.isfinite(loss)
+
+
+class TestBitNetFSDP:
+    def test_quantized_all_gather_matches_unsharded(self):
+        mesh = make_mesh({"data": 2, "fsdp": 4})
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        x = jax.random.normal(k1, (16, 64), jnp.float32)
+        w = jax.random.normal(k2, (32, 64), jnp.float32) * 0.05
+
+        out_ref = quant.qlinear(x, quant.BitNetWeight(w))
+        out_sh = bitnet_fsdp_linear(x, w, mesh)
+        np.testing.assert_allclose(
+            np.asarray(out_sh), np.asarray(out_ref), rtol=1e-3, atol=1e-3
+        )
+
+    def test_quantized_all_gather_grads_match(self):
+        mesh = make_mesh({"data": 2, "fsdp": 4})
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        x = jax.random.normal(k1, (16, 64), jnp.float32)
+        w = jax.random.normal(k2, (32, 64), jnp.float32) * 0.05
+
+        def loss_sh(x, w):
+            return (bitnet_fsdp_linear(x, w, mesh).astype(jnp.float32) ** 2).sum()
+
+        def loss_ref(x, w):
+            return (
+                quant.qlinear(x, quant.BitNetWeight(w)).astype(jnp.float32) ** 2
+            ).sum()
+
+        gx_s, gw_s = jax.grad(loss_sh, argnums=(0, 1))(x, w)
+        gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_r), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(gw_s), np.asarray(gw_r), rtol=1e-4, atol=1e-5
+        )
+
+    def test_bitnet_e2e_training_with_quantized_gather(self):
+        cfg = dataclasses.replace(TINY, bitnet=True)
+        params = llama.init_params(jax.random.PRNGKey(0), cfg)
+        qparams = quant.quantize_params(params, "bitnet")
+        opt = optim.adamw_bf16_sr(bf16_stochastic_rounding=False)
+        step = make_train_step(cfg, opt, donate=False)
+        mesh = make_mesh({"data": 2, "fsdp": 4})
+        enable_bitnet_fsdp(mesh)
+        try:
+            s = shard_state(init_train_state(qparams, opt), mesh)
+            s, loss = _run_steps(s, step, mesh)
+        finally:
+            enable_bitnet_fsdp(None)
+        assert np.isfinite(loss)
+
+
+class TestCollectives:
+    def test_benchmark_runs(self):
+        mesh = make_mesh({"data": 8})
+        res = benchmark_collectives(mesh, axis="data", size_mb=4, n_iters=3)
+        assert set(res) == {"psum_GiBps", "all_gather_GiBps", "psum_scatter_GiBps"}
+        assert all(v > 0 for v in res.values()), res
