@@ -33,10 +33,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-N_STEPS = 10
+N_STEPS = 8
 
 
-def build_many_steps(cfg_name: str, bs: int, seq: int, scheme: str | None):
+def build_step(cfg_name: str, bs: int, seq: int, scheme: str | None):
     import dataclasses
 
     from quantized_training_tpu import optim, quant
@@ -49,36 +49,33 @@ def build_many_steps(cfg_name: str, bs: int, seq: int, scheme: str | None):
     qparams = quant.quantize_params(params, scheme)
     optimizer = optim.adamw_bf16_sr(bf16_stochastic_rounding=False)
     state = init_train_state(qparams, optimizer)
-    step_fn = make_train_step(cfg, optimizer, jit_compile=False)
+    step_fn = make_train_step(cfg, optimizer)  # jitted, donated state
     tokens = jax.random.randint(
         jax.random.PRNGKey(1), (bs, seq), 0, cfg.vocab_size, dtype=jnp.int32
     )
     labels = jnp.roll(tokens, -1, axis=-1)
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def many(state, key):
-        def body(carry, i):
-            st, _ = carry
-            st, m = step_fn(st, tokens, labels, 1e-4, jax.random.fold_in(key, i))
-            return (st, m["loss"]), None
-        (state, loss), _ = jax.lax.scan(
-            body, (state, jnp.zeros((), jnp.float32)), jnp.arange(N_STEPS)
-        )
-        return state, loss
-
-    return state, many
+    return state, step_fn, tokens, labels
 
 
 def measure(cfg_name: str, bs: int, seq: int, scheme: str | None) -> float:
+    """Per-step timing with a loss readback every step — the readback
+    (~25ms through the tunnel) forces real completion; at ~1s/step for the
+    1B model the sync overhead is a few percent. (A device-side scan over
+    steps would be exact but that program crashes this environment's
+    remote compile helper at 1B scale.)"""
     t0 = time.perf_counter()
-    state, many = build_many_steps(cfg_name, bs, seq, scheme)
+    state, step_fn, tokens, labels = build_step(cfg_name, bs, seq, scheme)
     key = jax.random.PRNGKey(2)
-    state, loss = many(state, key)  # compile + warm
-    l0 = float(loss)  # force real completion (readback)
+    for i in range(2):  # compile + warm
+        state, m = step_fn(state, tokens, labels, 1e-4, jax.random.fold_in(key, i))
+        l0 = float(m["loss"])
     log(f"  compile+warm {time.perf_counter() - t0:.0f}s, loss={l0:.3f}")
     t0 = time.perf_counter()
-    state, loss = many(state, jax.random.fold_in(key, 1))
-    l1 = float(loss)
+    for i in range(N_STEPS):
+        state, m = step_fn(
+            state, tokens, labels, 1e-4, jax.random.fold_in(key, 100 + i)
+        )
+        l1 = float(m["loss"])  # sync
     dt = time.perf_counter() - t0
     assert jnp.isfinite(l1), l1
     return bs * seq * N_STEPS / dt

@@ -68,6 +68,8 @@ def main() -> None:
     parser.add_argument("--log_interval", type=int, default=50)
     parser.add_argument("--profile", action="store_true")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument("--native_loader", action="store_true",
+                        help="use the C++ prefetching token loader (make native)")
     args = parser.parse_args()
 
     import jax
@@ -141,15 +143,29 @@ def main() -> None:
     assert micro_bs * args.gradient_accumulation == args.batch_size
     if args.train_ds.get("type") == "synthetic":
         args.train_ds.setdefault("vocab_size", cfg.vocab_size)
-    ds = get_dataset(seq_len=args.seq_len, eval=False, seed=args.seed, **args.train_ds)
-    ds = ShuffleDataset(ds, buffer_size=max(micro_bs * 4, 1000), seed=args.seed)
-    dloader = BatchLoader(ds, batch_size=micro_bs)
+    if args.native_loader:
+        from quantized_training_tpu.data.native_loader import NativeTokenLoader, available
+
+        assert available(), "libtokenloader.so not built; run `make native`"
+        assert args.train_ds.get("type") == "token", "--native_loader needs a token dataset"
+        dloader = NativeTokenLoader(
+            args.train_ds["dataset_dir"], args.seq_len, micro_bs, seed=args.seed
+        )
+    else:
+        ds = get_dataset(seq_len=args.seq_len, eval=False, seed=args.seed, **args.train_ds)
+        ds = ShuffleDataset(ds, buffer_size=max(micro_bs * 4, 1000), seed=args.seed)
+        dloader = BatchLoader(ds, batch_size=micro_bs)
 
     # ----- state + sharding -----
     state = init_train_state(qparams, optimizer)
     mesh = make_mesh(args.mesh) if args.mesh else None
     if mesh is not None:
         state = shard_state(state, mesh)
+        if args.quantize == "bitnet" and mesh.shape["fsdp"] > 1:
+            # route bitnet linears through the 2-bit quantized all-gather
+            from quantized_training_tpu.parallel import enable_bitnet_fsdp
+
+            enable_bitnet_fsdp(mesh)
     step_fn = make_train_step(cfg, optimizer, clip_grad_norm=args.clip_grad_norm)
 
     save_dir = Path("runs/llm_pretrain") / (

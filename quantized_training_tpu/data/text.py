@@ -30,6 +30,14 @@ class TokenDataset:
         self.shards = sorted(Path(dataset_dir).glob("*.bin"))
         if not self.shards:
             raise FileNotFoundError(f"no .bin shards under {dataset_dir}")
+        # tokenize_data.py writes a dtype sidecar (uint32 for llama3's
+        # >64k vocab); default matches the reference's uint16
+        dtype_file = Path(dataset_dir) / "dtype.txt"
+        self.dtype = (
+            np.dtype(dtype_file.read_text().strip())
+            if dtype_file.exists()
+            else np.uint16
+        )
         self.seq_len = seq_len
         self.eval = eval
         self.seed = seed
@@ -52,7 +60,7 @@ class TokenDataset:
             while self._shard_i < len(shard_order):
                 shard_idx = shard_order[self._shard_i]
                 shard = np.memmap(
-                    self.shards[shard_idx], dtype=np.uint16, mode="r"
+                    self.shards[shard_idx], dtype=self.dtype, mode="r"
                 )
                 window = self.seq_len + 1
                 n_slices = math.floor(shard.shape[0] / window)

@@ -1,0 +1,203 @@
+"""Llama inference: INT8 KV-cache prefill/decode + generation loop.
+
+North-star extension beyond the reference (which evaluates through HF
+forward passes only, llm_evaluate.py): batched autoregressive inference
+running the same scaled dequant+matmul kernels, with the KV cache stored
+as row-wise absmax INT8 (one scale per token per head — the same
+quantize_int8 primitive as the training path, subclasses/int8.py:13-26),
+halving KV memory vs bf16 and 4x vs fp32.
+
+Weights may be any scheme wrapper (Int8Weight/Int4Weight/
+BitNetPackedWeight/plain) — the same qlinear dispatch as training.
+
+Decode runs under lax.scan over layers with the cache threaded as scan
+ys (functional update), and generation under lax.scan over steps — one
+compiled program regardless of length.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..quant import qlinear
+from ..quant.core import quantize_int8
+from . import llama
+
+Array = jax.Array
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["k", "k_scale", "v", "v_scale"],
+    meta_fields=[],
+)
+@dataclass
+class KVCache:
+    """INT8 KV cache: [L, B, S_max, KV_heads, head_dim] int8 + per-token
+    per-head scales [L, B, S_max, KV_heads, 1]."""
+
+    k: Array
+    k_scale: Array
+    v: Array
+    v_scale: Array
+
+    @classmethod
+    def zeros(cls, cfg: llama.LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+        L = cfg.num_hidden_layers
+        KV, hd = cfg.num_key_value_heads, cfg.head_dim
+        shape = (L, batch, max_len, KV, hd)
+        sshape = (L, batch, max_len, KV, 1)
+        return cls(
+            jnp.zeros(shape, jnp.int8),
+            jnp.zeros(sshape, dtype),
+            jnp.zeros(shape, jnp.int8),
+            jnp.zeros(sshape, dtype),
+        )
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def _quant_kv(x: Array):
+    """[B, T, KV, hd] -> int8 + per-(token, head) scale."""
+    return quantize_int8(x, axis=-1)
+
+
+def _cached_attention(q, k_new, v_new, layer_cache, pos):
+    """q/k_new/v_new: [B, T, H/KV, hd]; layer_cache: per-layer KVCache
+    slices (k [B, S, KV, hd] int8, ...). Returns (ctx, updated slices)."""
+    k_c, ks_c, v_c, vs_c = layer_cache
+    B, T, H, hd = q.shape
+    S = k_c.shape[1]
+    KV = k_new.shape[2]
+
+    k_q, k_s = _quant_kv(k_new)
+    v_q, v_s = _quant_kv(v_new)
+    k_c = jax.lax.dynamic_update_slice(k_c, k_q, (0, pos, 0, 0))
+    ks_c = jax.lax.dynamic_update_slice(ks_c, k_s.astype(ks_c.dtype), (0, pos, 0, 0))
+    v_c = jax.lax.dynamic_update_slice(v_c, v_q, (0, pos, 0, 0))
+    vs_c = jax.lax.dynamic_update_slice(vs_c, v_s.astype(vs_c.dtype), (0, pos, 0, 0))
+
+    # dequantize the whole cache for attention (bf16 MXU); masked positions
+    # have scale 0 so they contribute zeros pre-mask anyway
+    k_deq = k_c.astype(ks_c.dtype) * ks_c  # [B, S, KV, hd]
+    v_deq = v_c.astype(vs_c.dtype) * vs_c
+
+    if KV != H:
+        rep = H // KV
+        k_deq = jnp.repeat(k_deq, rep, axis=2)
+        v_deq = jnp.repeat(v_deq, rep, axis=2)
+
+    scores = jnp.einsum(
+        "bthd,bshd->bhts", q, k_deq, preferred_element_type=jnp.float32
+    ) * (hd**-0.5)
+    # position t (absolute pos+t) may attend to cache positions <= pos+t
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0) + pos
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+    mask = s_ids <= t_ids
+    scores = jnp.where(mask[None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    ctx = jnp.einsum("bhts,bshd->bthd", probs, v_deq)
+    return ctx, (k_c, ks_c, v_c, vs_c)
+
+
+def forward_with_cache(
+    params,
+    tokens: Array,
+    cache: KVCache,
+    pos,
+    cfg: llama.LlamaConfig,
+):
+    """tokens [B, T] at absolute positions pos..pos+T -> (logits [B, T, V],
+    updated cache). Used for both prefill (T>1) and decode (T=1)."""
+    B, T = tokens.shape
+    x = params["embed"]["embedding"][tokens]
+    cos_full, sin_full = llama.rope_tables(cfg, cache.max_len)
+    cos = jax.lax.dynamic_slice_in_dim(cos_full, pos, T, axis=0)
+    sin = jax.lax.dynamic_slice_in_dim(sin_full, pos, T, axis=0)
+
+    H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    def layer_fn(x, inputs):
+        lp, kc, ksc, vc, vsc = inputs
+        h = llama.rms_norm(x, lp["attn_norm"]["g"], cfg.rms_norm_eps)
+        q = qlinear(h, lp["q"]["w"]).reshape(B, T, H, hd)
+        k = qlinear(h, lp["k"]["w"]).reshape(B, T, KV, hd)
+        v = qlinear(h, lp["v"]["w"]).reshape(B, T, KV, hd)
+        q = llama.apply_rope(q, cos, sin)
+        k = llama.apply_rope(k, cos, sin)
+        ctx, new_cache = _cached_attention(q, k, v, (kc, ksc, vc, vsc), pos)
+        ctx = ctx.reshape(B, T, H * hd)
+        if cfg.bitnet:
+            ctx = llama.rms_norm(ctx, lp["o_norm"]["g"], cfg.rms_norm_eps)
+        x = x + qlinear(ctx, lp["o"]["w"])
+
+        h = llama.rms_norm(x, lp["mlp_norm"]["g"], cfg.rms_norm_eps)
+        act = jax.nn.silu(qlinear(h, lp["gate"]["w"])) * qlinear(h, lp["up"]["w"])
+        if cfg.bitnet:
+            act = llama.rms_norm(act, lp["down_norm"]["g"], cfg.rms_norm_eps)
+        x = x + qlinear(act, lp["down"]["w"])
+        return x, new_cache
+
+    x, new_slices = jax.lax.scan(
+        layer_fn, x, (params["layers"], cache.k, cache.k_scale, cache.v, cache.v_scale)
+    )
+    new_cache = KVCache(*new_slices)
+
+    x = llama.rms_norm(x, params["final_norm"]["g"], cfg.rms_norm_eps)
+    lm_w = (
+        params["embed"]["embedding"]
+        if cfg.tie_word_embeddings
+        else params["lm_head"]["w"]
+    )
+    return qlinear(x, lm_w), new_cache
+
+
+def generate(
+    params,
+    prompt: Array,
+    cfg: llama.LlamaConfig,
+    max_new_tokens: int,
+    *,
+    temperature: float = 0.0,
+    key: Array | None = None,
+    max_len: int | None = None,
+):
+    """Greedy (temperature=0) or sampled generation.
+
+    prompt [B, T_prompt] int32 -> [B, T_prompt + max_new_tokens].
+    One prefill pass + a scanned decode loop, all jittable.
+    """
+    B, T0 = prompt.shape
+    max_len = max_len or (T0 + max_new_tokens)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    cache = KVCache.zeros(cfg, B, max_len)
+
+    logits, cache = forward_with_cache(params, prompt, cache, 0, cfg)
+    last_logits = logits[:, -1].astype(jnp.float32)
+
+    def sample(logits, k):
+        if temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(k, logits / temperature, axis=-1).astype(
+            jnp.int32
+        )
+
+    def step(carry, i):
+        cache, last_logits = carry
+        tok = sample(last_logits, jax.random.fold_in(key, i))
+        logits, cache = forward_with_cache(
+            params, tok[:, None], cache, T0 + i, cfg
+        )
+        return (cache, logits[:, -1].astype(jnp.float32)), tok
+
+    (_, final_logits), toks = jax.lax.scan(
+        step, (cache, last_logits), jnp.arange(max_new_tokens)
+    )
+    return jnp.concatenate([prompt, toks.T], axis=1)

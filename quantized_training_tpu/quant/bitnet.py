@@ -67,18 +67,24 @@ class BitNetPackedWeight:
     values per int8, ``dequant = unpack(packed) * scale``.
     """
 
-    packed: Array  # [out, in // 4] int8
-    scale: Array  # scalar
+    packed: Array  # [out, in // 4] int8 (stacked: [L, out, in // 4])
+    scale: Array  # scalar per weight matrix (stacked: [L])
 
     @classmethod
     def from_weight(cls, w: Array, scale: Array | None = None):
         if scale is None:
-            scale = get_bitnet_scale(w)
-        w_i8 = quantize_bitnet_weight(w, scale)
+            # per-matrix abs-mean; for scan-stacked [L, out, in] weights
+            # one scalar per layer
+            scale = jnp.mean(
+                jnp.abs(w.astype(jnp.float32)), axis=(-2, -1)
+            )
+        w_i8 = quantize_bitnet_weight(w, scale[..., None, None]) if w.ndim == 3 else quantize_bitnet_weight(w, scale)
         return cls(pack_i2_in_i8(w_i8), scale.astype(w.dtype))
 
     def dequantize(self, dtype=None) -> Array:
-        out = unpack_i2_in_i8(self.packed).astype(self.scale.dtype) * self.scale
+        out = unpack_i2_in_i8(self.packed).astype(self.scale.dtype) * self.scale[
+            ..., None, None
+        ]
         return out.astype(dtype) if dtype is not None else out
 
     @property
