@@ -51,6 +51,8 @@ class LlamaConfig:
     tie_word_embeddings: bool = False
     bitnet: bool = False  # RMSNorm-into-linear surgery (train_utils.py:47-71)
     remat: bool = False  # activation checkpointing per decoder layer
+    # 'auto' = Pallas flash attention on TPU, fp32-softmax einsum elsewhere
+    attention_impl: str = "auto"  # 'auto' | 'flash' | 'xla'
 
     @property
     def head_dim(self) -> int:
@@ -160,10 +162,26 @@ def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
     return (xf * c + rotated * s).astype(x.dtype)
 
 
-def attention(q: Array, k: Array, v: Array) -> Array:
-    """Causal GQA attention; fp32 scores/softmax, bf16 value matmul.
+def _use_flash(impl: str, seq: int) -> bool:
+    if impl == "xla":
+        return False
+    if impl == "flash":
+        return True
+    try:
+        return jax.default_backend() == "tpu" and seq % 128 == 0 and seq >= 256
+    except Exception:
+        return False
+
+
+def attention(q: Array, k: Array, v: Array, impl: str = "auto") -> Array:
+    """Causal GQA attention.
 
     q: [B, S, H, hd], k/v: [B, S, KV, hd] -> [B, S, H, hd]
+
+    On TPU this dispatches to the Pallas flash-attention kernel (fused
+    softmax, no [S, S] materialization — the einsum path's fp32 score
+    tensor is the single largest non-matmul cost at seq 2048); elsewhere
+    an einsum with fp32 scores/softmax.
     """
     B, S, H, hd = q.shape
     KV = k.shape[2]
@@ -171,6 +189,20 @@ def attention(q: Array, k: Array, v: Array) -> Array:
         rep = H // KV
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
+
+    if _use_flash(impl, S):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention,
+        )
+
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            causal=True,
+            sm_scale=hd**-0.5,
+        )
+        return out.transpose(0, 2, 1, 3)
 
     scores = jnp.einsum(
         "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
@@ -195,7 +227,7 @@ def _decoder_layer(cfg: LlamaConfig, x, lp, cos, sin, key):
     v = qlinear(h, lp["v"]["w"], key=lkey(2)).reshape(B, S, KV, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    ctx = attention(q, k, v).reshape(B, S, H * hd)
+    ctx = attention(q, k, v, cfg.attention_impl).reshape(B, S, H * hd)
     if cfg.bitnet:
         ctx = rms_norm(ctx, lp["o_norm"]["g"], cfg.rms_norm_eps)
     x = x + qlinear(ctx, lp["o"]["w"], key=lkey(3))

@@ -6,6 +6,8 @@ implementations: XLA-lowered jnp paths plus Pallas MXU kernels selected via
 """
 
 from ._dispatch import set_backend, use_backend
+from .conv2d import conv2d, int8_conv2d, scaled_int8_conv2d
+from .fp8 import fp8_mm, quantize_fp8, scaled_fp8_mm
 from .int4_mm import int4_mm, scaled_int4_mm, unpack_int4
 from .scaled_mm import int8_mm, scaled_mm, scaled_mm_ref
 
@@ -18,4 +20,10 @@ __all__ = [
     "int4_mm",
     "scaled_int4_mm",
     "unpack_int4",
+    "fp8_mm",
+    "scaled_fp8_mm",
+    "quantize_fp8",
+    "conv2d",
+    "int8_conv2d",
+    "scaled_int8_conv2d",
 ]
