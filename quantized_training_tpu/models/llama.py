@@ -32,6 +32,7 @@ from pathlib import Path
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..quant import qlinear
 
@@ -276,6 +277,10 @@ def _decoder_layer(cfg: LlamaConfig, x, lp, cos, sin, key):
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     ctx = attention(q, k, v, cfg.attention_impl).reshape(B, S, H * hd)
+    # named so the remat policy can SAVE it: recomputing flash attention in
+    # the backward costs ~78 ms/step (llama2-1b bs8 seq2048 v5e) for only
+    # ~64 MB/layer of residuals
+    ctx = checkpoint_name(ctx, "attn_out")
     if cfg.bitnet:
         ctx = rms_norm(ctx, lp["o_norm"]["g"], cfg.rms_norm_eps)
     x = x + qlinear(ctx, lp["o"]["w"], key=lkey(3))
@@ -304,7 +309,13 @@ def forward(params, tokens: Array, cfg: LlamaConfig, key: Array | None = None):
 
     layer_body = partial(_decoder_layer, cfg)
     if cfg.remat:
-        layer_body = jax.checkpoint(layer_body)
+        # per-layer activation checkpointing (llm_pretrain.py:112-113), but
+        # keep the expensive flash-attention outputs instead of recomputing
+        # them in the backward pass
+        layer_body = jax.checkpoint(
+            layer_body,
+            policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
+        )
 
     def scan_fn(x, inputs):
         lp, lkey = inputs

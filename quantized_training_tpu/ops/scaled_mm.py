@@ -108,6 +108,40 @@ def scaled_mm(
     return _tile_scaled_mm_xla(a, b, scale_a, scale_b, out_dtype)
 
 
+def scaled_mm_general(
+    a: Array,
+    b: Array,
+    scale_a: Array,
+    scale_b: Array,
+    *,
+    dims: tuple[int, int] = (1, 0),
+    out_dtype=jnp.bfloat16,
+) -> Array:
+    """Row/col-scaled matmul with explicit contraction dims — the
+    transpose-free form used by the mixed-precision backward pass.
+
+    ``dims = (ca, cb)`` contracts ``a`` over axis ``ca`` and ``b`` over
+    axis ``cb`` (each operand quantized along its contraction axis, so the
+    scales lie off the reduction dim). Avoids materializing ``x.T`` /
+    ``w.T`` operands: XLA folds the layout choice into the MXU GEMM,
+    where an explicit ``jnp.transpose`` before the quantize costs a full
+    HBM pass (and int8 transposes lower to pathologically slow copies,
+    ~22 ms for [16384,2048] s8 on v5e).
+
+    scale_a has size a.shape[1-ca] (per out-row), scale_b size
+    b.shape[1-cb] (per out-col); scalars broadcast.
+    """
+    ca, cb = dims
+    M = a.shape[1 - ca]
+    N = b.shape[1 - cb]
+    acc = jax.lax.dot_general(
+        a, b, (((ca,), (cb,)), ((), ())), preferred_element_type=_accum_dtype(a.dtype)
+    ).astype(jnp.float32)
+    sa = jnp.reshape(scale_a.astype(jnp.float32), (1, 1) if _is_tensor_scale(scale_a) else (M, 1))
+    sb = jnp.reshape(scale_b.astype(jnp.float32), (1, 1) if _is_tensor_scale(scale_b) else (1, N))
+    return (acc * sa * sb).astype(out_dtype)
+
+
 def _tile_scaled_mm_xla(
     a: Array, b: Array, scale_a: Array, scale_b: Array, out_dtype
 ) -> Array:

@@ -19,7 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.scaled_mm import scaled_mm
+from ..ops.scaled_mm import scaled_mm, scaled_mm_general
 from ..ops.int4_mm import scaled_int4_mm
 from .configs import MixedPrecisionConfig
 from .core import quantize_int8, quantize_int4_rowwise_absmax
@@ -53,18 +53,27 @@ class MixedPrecisionWeight:
         return self.data.shape
 
 
-def _dynamic_int8_mm(a: Array, b: Array, sr: bool, key: Array | None) -> Array:
-    """out = A @ B with both operands dynamically row/col quantized to INT8.
+def _dynamic_int8_mm(
+    a: Array,
+    b: Array,
+    sr: bool,
+    key: Array | None,
+    dims: tuple[int, int] = (1, 0),
+) -> Array:
+    """Contract a over dims[0] and b over dims[1], both operands
+    dynamically quantized to INT8 along their contraction axis so the
+    scales stay off the reduction dim (mixed_precision.py:100-108).
 
-    A is quantized along its rows (axis=1), B along its columns (axis=0) so
-    both scales stay off the reduction dim (mixed_precision.py:100-108).
+    Explicit contraction dims keep every call transpose-free: the caller
+    never materializes ``x.T`` / ``w.T`` (int8 transposes are
+    pathologically slow XLA copies on TPU).
     """
     ka = kb = None
     if sr:
         ka, kb = jax.random.split(key)
-    a_i8, row_scale = quantize_int8(a, axis=1, stochastic_rounding=sr, key=ka)
-    b_i8, col_scale = quantize_int8(b, axis=0, stochastic_rounding=sr, key=kb)
-    return scaled_mm(a_i8, b_i8, row_scale, col_scale, out_dtype=a.dtype)
+    a_i8, sa = quantize_int8(a, axis=dims[0], stochastic_rounding=sr, key=ka)
+    b_i8, sb = quantize_int8(b, axis=dims[1], stochastic_rounding=sr, key=kb)
+    return scaled_mm_general(a_i8, b_i8, sa, sb, dims=dims, out_dtype=a.dtype)
 
 
 def _dynamic_int4_mm(a: Array, b: Array) -> Array:
@@ -74,10 +83,18 @@ def _dynamic_int4_mm(a: Array, b: Array) -> Array:
     return scaled_int4_mm(a_i4, b_t_i4, row_scale, col_scale, out_dtype=a.dtype)
 
 
-def _dynamic_mm(a: Array, b: Array, config: MixedPrecisionConfig, key) -> Array:
+def _dynamic_mm(
+    a: Array,
+    b: Array,
+    config: MixedPrecisionConfig,
+    key,
+    dims: tuple[int, int] = (1, 0),
+) -> Array:
     if config.dtype == "int8":
-        return _dynamic_int8_mm(a, b, config.stochastic_rounding, key)
+        return _dynamic_int8_mm(a, b, config.stochastic_rounding, key, dims)
     elif config.dtype == "int4":
+        a = a if dims[0] == 1 else a.T
+        b = b if dims[1] == 0 else b.T
         return _dynamic_int4_mm(a, b)
     raise ValueError(f"unsupported mixed-precision dtype {config.dtype!r}")
 
@@ -86,7 +103,8 @@ def _dynamic_mm(a: Array, b: Array, config: MixedPrecisionConfig, key) -> Array:
 def _mp_linear(config: MixedPrecisionConfig, x2d: Array, w: Array, key: Array):
     """x2d [B, in] @ w.T [in, out]; w is [out, in]."""
     if config.output:
-        return _dynamic_mm(x2d, w.T, config, _subkey(key, 0))
+        # contract x2d dim 1 with w dim 1 — w is used as-is ([out, in])
+        return _dynamic_mm(x2d, w, config, _subkey(key, 0), dims=(1, 1))
     return x2d @ w.T
 
 
@@ -103,14 +121,15 @@ def _mp_linear_bwd(config, res, g):
     g = g.astype(w.dtype)
 
     if config.grad_input:
-        grad_input = _dynamic_mm(g, w, config, _subkey(key, 1))
+        grad_input = _dynamic_mm(g, w, config, _subkey(key, 1), dims=(1, 0))
     else:
         grad_input = g @ w
 
     if config.grad_weight:
-        # quantizing input.T row-wise == per-K-column scales; this is the
-        # "slightly faster" formulation of mixed_precision.py:183-188
-        grad_weight = _dynamic_mm(x2d.T, g, config, _subkey(key, 2)).T
+        # grad_w.T = x2d.T @ g expressed transpose-free: contract BOTH
+        # operands over the token dim (axis 0), each quantized along it —
+        # the per-matmul re-quantization of mixed_precision.py:183-188
+        grad_weight = _dynamic_mm(x2d, g, config, _subkey(key, 2), dims=(0, 0)).T
     else:
         grad_weight = g.T @ x2d
 
