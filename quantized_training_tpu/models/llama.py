@@ -193,8 +193,15 @@ def _splash_kernel(groups: int, seq: int):
         splash_attention_mask as sam,
     )
 
-    bq = min(512, seq)
-    bkv = min(1024, seq)
+    def blk(target: int) -> int:
+        b = min(target, seq)
+        while seq % b:
+            b //= 2
+        return b
+
+    # 1024-everywhere measured best at S2048 hd64 on v5e:
+    # fwd 4.96 ms, fwd+bwd 14.54 ms per layer (vs 5.2/15.7 at 512/1024)
+    bq = bkv = blk(1024)
     bs = sak.BlockSizes(
         block_q=bq, block_kv=bkv, block_kv_compute=bkv,
         block_q_dkv=bq, block_kv_dkv=bkv, block_kv_dkv_compute=bkv,

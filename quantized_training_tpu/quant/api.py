@@ -66,11 +66,17 @@ def qlinear(x: Array, w, bias: Array | None = None, *, key: Array | None = None)
 
 
 def _is_linear_weight_path(path) -> bool:
-    """Default filter: leaves stored under a dict key named 'w'.
+    """Default filter: leaves stored under a dict key named 'w', excluding
+    the LM head.
 
     Model convention (models/): every linear kernel is ``{"w": [O, I]}``.
+    The reference quantizes only the transformer body — ``model.model`` —
+    so the lm_head (and the tied embedding) stay full precision
+    (llm_pretrain.py:122, train_utils.py:36-39).
     """
     if not path:
+        return False
+    if any(getattr(p, "key", None) == "lm_head" for p in path):
         return False
     last = path[-1]
     key = getattr(last, "key", None)
