@@ -24,7 +24,6 @@ Every linear weight leaf lives under a dict key ``"w"`` with shape
 
 from __future__ import annotations
 
-import functools
 import json
 from dataclasses import dataclass, replace
 from functools import partial
@@ -32,7 +31,6 @@ from pathlib import Path
 
 import jax
 import jax.numpy as jnp
-from jax.ad_checkpoint import checkpoint_name
 
 from ..quant import qlinear
 
@@ -269,25 +267,22 @@ def attention(q: Array, k: Array, v: Array, impl: str = "auto") -> Array:
     return jnp.einsum("bhst,bthd->bshd", probs, v)
 
 
-def _decoder_layer(cfg: LlamaConfig, x, lp, cos, sin, key):
-    """One decoder layer. lp = per-layer param slice; key for SR quant."""
-    B, S, D = x.shape
+def _qkv_part(cfg: LlamaConfig, x, lp, cos, sin, key):
+    """Norm + QKV projections + RoPE (remattable)."""
+    B, S, _ = x.shape
     H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    h = rms_norm(x, lp["attn_norm"]["g"], cfg.rms_norm_eps)
+    q = qlinear(h, lp["q"]["w"], key=jax.random.fold_in(key, 0)).reshape(B, S, H, hd)
+    k = qlinear(h, lp["k"]["w"], key=jax.random.fold_in(key, 1)).reshape(B, S, KV, hd)
+    v = qlinear(h, lp["v"]["w"], key=jax.random.fold_in(key, 2)).reshape(B, S, KV, hd)
+    return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
+
+def _post_attn_part(cfg: LlamaConfig, x, ctx, lp, key):
+    """O-projection + MLP with residuals (remattable)."""
     def lkey(i):
         return jax.random.fold_in(key, i)
 
-    h = rms_norm(x, lp["attn_norm"]["g"], cfg.rms_norm_eps)
-    q = qlinear(h, lp["q"]["w"], key=lkey(0)).reshape(B, S, H, hd)
-    k = qlinear(h, lp["k"]["w"], key=lkey(1)).reshape(B, S, KV, hd)
-    v = qlinear(h, lp["v"]["w"], key=lkey(2)).reshape(B, S, KV, hd)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
-    ctx = attention(q, k, v, cfg.attention_impl).reshape(B, S, H * hd)
-    # named so the remat policy can SAVE it: recomputing flash attention in
-    # the backward costs ~78 ms/step (llama2-1b bs8 seq2048 v5e) for only
-    # ~64 MB/layer of residuals
-    ctx = checkpoint_name(ctx, "attn_out")
     if cfg.bitnet:
         ctx = rms_norm(ctx, lp["o_norm"]["g"], cfg.rms_norm_eps)
     x = x + qlinear(ctx, lp["o"]["w"], key=lkey(3))
@@ -298,8 +293,26 @@ def _decoder_layer(cfg: LlamaConfig, x, lp, cos, sin, key):
     act = jax.nn.silu(gate) * up
     if cfg.bitnet:
         act = rms_norm(act, lp["down_norm"]["g"], cfg.rms_norm_eps)
-    x = x + qlinear(act, lp["down"]["w"], key=lkey(6))
-    return x
+    return x + qlinear(act, lp["down"]["w"], key=lkey(6))
+
+
+def _decoder_layer(cfg: LlamaConfig, x, lp, cos, sin, key):
+    """One decoder layer. lp = per-layer param slice; key for SR quant.
+
+    NOTE on remat granularity: checkpointing sub-segments of the layer
+    (to keep the flash-attention fwd from being recomputed, ~78 ms/step
+    at llama2-1b bs8) was tried and is numerically fine, but any
+    partial-layer checkpoint inside the scan blows up the 1B-model XLA
+    compile in this environment (remote compile helper exits). The stable
+    configuration is ONE jax.checkpoint around the whole layer, applied
+    by ``forward``.
+    """
+    B, S, D = x.shape
+    H, hd = cfg.num_attention_heads, cfg.head_dim
+
+    q, k, v = _qkv_part(cfg, x, lp, cos, sin, key)
+    ctx = attention(q, k, v, cfg.attention_impl).reshape(B, S, H * hd)
+    return _post_attn_part(cfg, x, ctx, lp, key)
 
 
 def forward(params, tokens: Array, cfg: LlamaConfig, key: Array | None = None):
@@ -316,13 +329,9 @@ def forward(params, tokens: Array, cfg: LlamaConfig, key: Array | None = None):
 
     layer_body = partial(_decoder_layer, cfg)
     if cfg.remat:
-        # per-layer activation checkpointing (llm_pretrain.py:112-113), but
-        # keep the expensive flash-attention outputs instead of recomputing
-        # them in the backward pass
-        layer_body = jax.checkpoint(
-            layer_body,
-            policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
-        )
+        # per-layer activation checkpointing (llm_pretrain.py:112-113);
+        # see _decoder_layer's docstring for the granularity constraint
+        layer_body = jax.checkpoint(layer_body)
 
     def scan_fn(x, inputs):
         lp, lkey = inputs
