@@ -17,7 +17,13 @@ and does the quantize itself in the minimum number of HBM passes:
 
 Semantics match quant.core.quantize_int8 (absmax symmetric, scale =
 absmax/127 computed in fp32, round-half-even, subclasses/int8.py:13-26).
-Deterministic rounding only — the SR path stays on the jnp implementation.
+
+Stochastic rounding runs IN-KERNEL via the TPU PRNG
+(``pltpu.prng_random_bits``): q = floor(x/scale + U[0,1)), the reference
+SR formulation (subclasses/int8.py:20-22). The noise stream differs from
+the jnp path's ``jax.random.uniform`` (different RNG), but the estimator
+is identically unbiased; determinism comes from seeding each grid block
+with (key-derived seed, program ids).
 """
 
 from __future__ import annotations
@@ -50,11 +56,39 @@ def _pick_block(dim: int, other: int, step: int = 32, elem_bytes: int = 2,
     return best
 
 
-def _rowwise_kernel(x_ref, q_ref, s_ref):
+def _uniform_noise(shape):
+    """U[0,1) fp32 from the per-core PRNG (seeded by the caller)."""
+    bits = pltpu.prng_random_bits(shape)  # int32
+    # take the top 24 bits -> exact fp32 in [0, 1)
+    u24 = jax.lax.shift_right_logical(
+        pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
+    )
+    # Mosaic has no uint32->f32 cast; the top-24-bit value is positive, so
+    # bitcast to int32 first
+    return pltpu.bitcast(u24, jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def _round_op(q_f32, sr: bool):
+    if sr:
+        return jnp.floor(q_f32 + _uniform_noise(q_f32.shape))
+    return jnp.round(q_f32)
+
+
+def _block_seed(seed_ref, *pids):
+    """One int32 seed per grid block (distinct noise stream per block)."""
+    s = seed_ref[0]
+    for p in pids:
+        s = s * jnp.int32(1000003) + p.astype(jnp.int32)
+    return s
+
+
+def _rowwise_kernel(x_ref, seed_ref, q_ref, s_ref, *, eps, sr):
+    if sr:
+        pltpu.prng_seed(_block_seed(seed_ref, pl.program_id(0)))
     xf = x_ref[:].astype(jnp.float32)
     absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
     scale = absmax * (1.0 / 127.0)
-    q = jnp.round(xf / jnp.clip(scale, min=_EPS))
+    q = _round_op(xf / jnp.clip(scale, min=eps), sr)
     q_ref[:] = jnp.clip(q, -128, 127).astype(jnp.int8)
     s_ref[:] = scale
 
@@ -70,26 +104,50 @@ def _rowwise_amax_kernel(x_ref, amax_ref):
     amax_ref[:] = jnp.maximum(amax_ref[:], jnp.max(jnp.abs(xf), axis=1, keepdims=True))
 
 
-def _rowwise_scale_kernel(x_ref, s_ref, q_ref):
+def _rowwise_scale_kernel(x_ref, seed_ref, s_ref, q_ref, *, eps, sr):
+    if sr:
+        pltpu.prng_seed(_block_seed(seed_ref, pl.program_id(0), pl.program_id(1)))
     xf = x_ref[:].astype(jnp.float32)
-    q = jnp.round(xf / jnp.clip(s_ref[:], min=_EPS))
+    q = _round_op(xf / jnp.clip(s_ref[:], min=eps), sr)
     q_ref[:] = jnp.clip(q, -128, 127).astype(jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def quantize_int8_rowwise(x: Array, *, interpret: bool = False):
+def _seed_spec():
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _as_seed(seed: Array | None) -> Array:
+    if seed is None:
+        return jnp.zeros((1,), jnp.int32)
+    return jnp.reshape(seed, (1,)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "sr", "interpret"))
+def quantize_int8_rowwise(
+    x: Array,
+    seed: Array | None = None,
+    *,
+    eps: float = _EPS,
+    sr: bool = False,
+    interpret: bool = False,
+):
     """x [M, K] -> (q int8 [M, K], scale f32 [M, 1]); reduce along axis 1.
 
     Single-pass (one HBM read) when a [bm, K] tile fits VMEM; K-blocked
     two-pass otherwise (wide rows, e.g. vocab-sized logits grads).
+    ``sr`` enables in-kernel stochastic rounding seeded by ``seed``.
     """
     M, K = x.shape
+    seed = _as_seed(seed)
     bm = _pick_block(M, K)
     if bm is not None:
         out = pl.pallas_call(
-            _rowwise_kernel,
+            functools.partial(_rowwise_kernel, eps=eps, sr=sr),
             grid=(M // bm,),
-            in_specs=[pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+            in_specs=[
+                pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                _seed_spec(),
+            ],
             out_specs=[
                 pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -99,7 +157,7 @@ def quantize_int8_rowwise(x: Array, *, interpret: bool = False):
                 jax.ShapeDtypeStruct((M, 1), jnp.float32),
             ],
             interpret=interpret,
-        )(x)
+        )(x, seed)
         return out[0], out[1]
 
     bk = _pick_block(K, 1, step=128)
@@ -119,16 +177,17 @@ def quantize_int8_rowwise(x: Array, *, interpret: bool = False):
     )(x)
     scale = absmax * (1.0 / 127.0)
     q = pl.pallas_call(
-        _rowwise_scale_kernel,
+        functools.partial(_rowwise_scale_kernel, eps=eps, sr=sr),
         grid=(M // bm, K // bk),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, k: (i, k), memory_space=pltpu.VMEM),
+            _seed_spec(),
             pl.BlockSpec((bm, 1), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bk), lambda i, k: (i, k), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, K), jnp.int8),
         interpret=interpret,
-    )(x, scale)
+    )(x, seed, scale)
     return q, scale
 
 
@@ -143,16 +202,26 @@ def _colwise_absmax_kernel(x_ref, amax_ref):
     amax_ref[:] = jnp.maximum(amax_ref[:], jnp.max(jnp.abs(xf), axis=0, keepdims=True))
 
 
-def _colwise_scale_kernel(x_ref, s_ref, q_ref):
+def _colwise_scale_kernel(x_ref, seed_ref, s_ref, q_ref, *, eps, sr):
+    if sr:
+        pltpu.prng_seed(_block_seed(seed_ref, pl.program_id(0), pl.program_id(1)))
     xf = x_ref[:].astype(jnp.float32)
-    q = jnp.round(xf / jnp.clip(s_ref[:], min=_EPS))
+    q = _round_op(xf / jnp.clip(s_ref[:], min=eps), sr)
     q_ref[:] = jnp.clip(q, -128, 127).astype(jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def quantize_int8_colwise(x: Array, *, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("eps", "sr", "interpret"))
+def quantize_int8_colwise(
+    x: Array,
+    seed: Array | None = None,
+    *,
+    eps: float = _EPS,
+    sr: bool = False,
+    interpret: bool = False,
+):
     """x [K, N] -> (q int8 [K, N], scale f32 [1, N]); reduce along axis 0."""
     K, N = x.shape
+    seed = _as_seed(seed)
     bn = _pick_block(N, min(K, 2048), step=128)
     bk = _pick_block(K, bn, step=32) if bn else None
     if bn is None or bk is None:
@@ -174,16 +243,17 @@ def quantize_int8_colwise(x: Array, *, interpret: bool = False):
     scale = absmax * (1.0 / 127.0)
 
     q = pl.pallas_call(
-        _colwise_scale_kernel,
+        functools.partial(_colwise_scale_kernel, eps=eps, sr=sr),
         grid=(K // bk, N // bn),
         in_specs=[
             pl.BlockSpec((bk, bn), lambda k, j: (k, j), memory_space=pltpu.VMEM),
+            _seed_spec(),
             pl.BlockSpec((1, bn), lambda k, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bk, bn), lambda k, j: (k, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((K, N), jnp.int8),
         interpret=interpret,
-    )(x, scale)
+    )(x, seed, scale)
     return q, scale
 
 
@@ -205,9 +275,17 @@ def supported(x: Array, axis: int) -> bool:
     return False
 
 
-def quantize_int8(x: Array, axis: int, *, interpret: bool = False):
+def quantize_int8(
+    x: Array,
+    axis: int,
+    *,
+    eps: float = _EPS,
+    sr: bool = False,
+    seed: Array | None = None,
+    interpret: bool = False,
+):
     """Dispatch to the row/col kernel; caller checks :func:`supported`."""
     if axis in (1, -1):
-        return quantize_int8_rowwise(x, interpret=interpret)
+        return quantize_int8_rowwise(x, seed, eps=eps, sr=sr, interpret=interpret)
     assert axis == 0
-    return quantize_int8_colwise(x, interpret=interpret)
+    return quantize_int8_colwise(x, seed, eps=eps, sr=sr, interpret=interpret)

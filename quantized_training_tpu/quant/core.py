@@ -66,12 +66,7 @@ def quantize_int8(
     # that fusion lowers through a slow convolution emitter (measured
     # 31.7 ms vs ~2.5 ms for the bare MXU GEMM on v5e) — and the kernels
     # do absmax+scale in the minimum HBM passes (see ops/pallas_quant.py).
-    if (
-        not stochastic_rounding
-        and eps == 1e-12
-        and x.ndim == 2
-        and axis in (0, 1, -1)
-    ):
+    if x.ndim == 2 and axis in (0, 1, -1):
         try:
             on_tpu = jax.default_backend() == "tpu"
         except Exception:
@@ -80,7 +75,21 @@ def quantize_int8(
             from ..ops import pallas_quant
 
             if pallas_quant.supported(x, axis):
-                q, scale = pallas_quant.quantize_int8(x, axis)
+                seed = None
+                if stochastic_rounding:
+                    if key is None:
+                        raise ValueError(
+                            "stochastic_rounding=True requires a PRNG key"
+                        )
+                    # key -> int32 seed for the in-kernel TPU PRNG; noise
+                    # stream differs from jax.random.uniform but SR stays
+                    # unbiased and deterministic in (key,)
+                    seed = jax.lax.bitcast_convert_type(
+                        jax.random.bits(key, (1,), jnp.uint32), jnp.int32
+                    )
+                q, scale = pallas_quant.quantize_int8(
+                    x, axis, eps=eps, sr=stochastic_rounding, seed=seed
+                )
                 return q, scale.astype(orig_dtype)
 
     # absmax reduce on the ORIGINAL dtype: max is exact (pure comparison),

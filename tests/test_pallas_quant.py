@@ -39,6 +39,31 @@ def test_roundtrip_accuracy():
     assert err.max() <= np.abs(np.asarray(x)).max() / 127.0 + 1e-6
 
 
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="in-kernel stochastic rounding uses the TPU PRNG "
+    "(pltpu.prng_random_bits); run on a chip to exercise",
+)
+@pytest.mark.parametrize("axis", [1, 0])
+def test_sr_unbiased_and_deterministic_tpu(axis):
+    from quantized_training_tpu.quant.core import quantize_int8 as core_q
+
+    x = jnp.full((256, 256), 0.3, jnp.float32)
+    x = x.at[:, 0].set(1.0) if axis == 1 else x.at[0, :].set(1.0)
+    k = jax.random.PRNGKey(7)
+    q1, _ = core_q(x, axis=axis, stochastic_rounding=True, key=k)
+    q2, _ = core_q(x, axis=axis, stochastic_rounding=True, key=k)
+    assert bool(jnp.all(q1 == q2)), "same key must reproduce"
+
+    acc = jnp.zeros_like(x)
+    n = 100
+    for i in range(n):
+        q, s = core_q(x, axis=axis, stochastic_rounding=True, key=jax.random.PRNGKey(i))
+        acc = acc + q.astype(jnp.float32) * s.astype(jnp.float32)
+    interior = acc[:, 1:] / n if axis == 1 else acc[1:, :] / n
+    assert abs(float(jnp.mean(interior)) - 0.3) < 2e-3, "SR must be unbiased"
+
+
 def test_supported_gates():
     x = jnp.zeros((64, 100), jnp.bfloat16)  # lane dim not /128
     assert not pallas_quant.supported(x, 1)
