@@ -9,13 +9,23 @@ from ._dispatch import set_backend, use_backend
 from .conv2d import conv2d, int8_conv2d, scaled_int8_conv2d
 from .fp8 import fp8_mm, quantize_fp8, scaled_fp8_mm
 from .int4_mm import int4_mm, scaled_int4_mm, unpack_int4
-from .scaled_mm import int8_mm, scaled_mm, scaled_mm_ref
+from .mx import (
+    dequantize_mxfp4,
+    dequantize_nvfp4,
+    mxfp4_mm,
+    nvfp4_mm,
+    pack_block_scales_nv,
+    quantize_mx,
+    quantize_nvfp4,
+)
+from .scaled_mm import int8_mm, scaled_mm, scaled_mm_general, scaled_mm_ref
 
 __all__ = [
     "set_backend",
     "use_backend",
     "int8_mm",
     "scaled_mm",
+    "scaled_mm_general",
     "scaled_mm_ref",
     "int4_mm",
     "scaled_int4_mm",
@@ -23,6 +33,13 @@ __all__ = [
     "fp8_mm",
     "scaled_fp8_mm",
     "quantize_fp8",
+    "quantize_mx",
+    "quantize_nvfp4",
+    "dequantize_mxfp4",
+    "dequantize_nvfp4",
+    "mxfp4_mm",
+    "nvfp4_mm",
+    "pack_block_scales_nv",
     "conv2d",
     "int8_conv2d",
     "scaled_int8_conv2d",

@@ -174,6 +174,73 @@ def dequantize_nvfp4(xq: Array, scales: Array, tensor_scale: Array) -> Array:
     return (vals.reshape(M, -1, 16) * s.reshape(M, -1, 1)).reshape(M, -1)
 
 
+def mxfp4_mm(
+    a_packed: Array,
+    b_t_packed: Array,
+    scale_a: Array,
+    scale_b: Array,
+    bias: Array | None = None,
+    *,
+    out_dtype=jnp.bfloat16,
+) -> Array:
+    """MXFP4 block-scaled matmul (cutlass_sm120a_fp4.cu:42-136 contract).
+
+    A [M, K//2] packed fp4, B.T [N, K//2] packed fp4 (the reference demands
+    a row-major x column-major GEMM, cutlass_mm.py:80-86 — here B arrives
+    pre-transposed like scaled_int4_mm), E8M0 scales per 32-element
+    K-block: scale_a [M, K//32], scale_b [N, K//32]. Optional bias [N].
+
+    TPU has no fp4 MXU datapath, so the kernel dequantizes to bf16 in the
+    graph (LUT + E8M0 exponent scale — XLA fuses this into the matmul's
+    operand pipeline) and runs a bf16 MXU GEMM. fp32 accumulation.
+    """
+    af = dequantize_mxfp4(a_packed, scale_a)  # [M, K] f32
+    bf = dequantize_mxfp4(b_t_packed, scale_b)  # [N, K] f32
+    out = jax.lax.dot_general(
+        af.astype(jnp.bfloat16),
+        bf.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)[None, :]
+    return out.astype(out_dtype)
+
+
+def nvfp4_mm(
+    a_packed: Array,
+    b_t_packed: Array,
+    scale_a: Array,
+    scale_b: Array,
+    output_scale: Array,
+    bias: Array | None = None,
+    *,
+    out_dtype=jnp.bfloat16,
+) -> Array:
+    """NVFP4 block-scaled matmul (cutlass_sm120a_fp4.cu:138-243 contract).
+
+    16-element K-blocks with FP8-E4M3 scales (scale_a [M, K//16],
+    scale_b [N, K//16]); ``output_scale`` is the scalar
+    tensor_scale_a * tensor_scale_b folded into the epilogue
+    (cutlass_mm.py:95-108). Optional bias [N] added AFTER output scaling,
+    matching the reference epilogue order.
+    """
+    a_codes = FP4E2M1_LUT[unpack_fp4(a_packed)]
+    b_codes = FP4E2M1_LUT[unpack_fp4(b_t_packed)]
+    M, N = a_codes.shape[0], b_codes.shape[0]
+    af = (a_codes.reshape(M, -1, 16) * scale_a.astype(jnp.float32)[..., None]).reshape(M, -1)
+    bf = (b_codes.reshape(N, -1, 16) * scale_b.astype(jnp.float32)[..., None]).reshape(N, -1)
+    out = jax.lax.dot_general(
+        af.astype(jnp.bfloat16),
+        bf.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * output_scale.astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)[None, :]
+    return out.astype(out_dtype)
+
+
 def pack_block_scales_nv(scales: Array) -> Array:
     """NVIDIA Blackwell 128x4 swizzled scale layout (utils.py:21-26) —
     contract parity for payload interop; flattened output."""

@@ -108,3 +108,39 @@ class TestNVFP4:
         np.testing.assert_array_equal(
             np.asarray(packed[:4]), np.asarray(s[0, :4])
         )
+
+
+class TestFP4Matmuls:
+    """mxfp4_mm / nvfp4_mm vs the dequantize-then-fp32-matmul oracle
+    (the scaled_mm_ref methodology of benchmark_mm.py:46-50)."""
+
+    def test_mxfp4_mm_matches_dequant_oracle(self):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        a = jax.random.normal(k1, (16, 64), jnp.float32)
+        b_t = jax.random.normal(k2, (8, 64), jnp.float32)
+        aq, sa = mx.quantize_mx(a, "fp4")
+        bq, sb = mx.quantize_mx(b_t, "fp4")
+        out = mx.mxfp4_mm(aq, bq, sa, sb, out_dtype=jnp.float32)
+        ref = mx.dequantize_mxfp4(aq, sa) @ mx.dequantize_mxfp4(bq, sb).T
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=1e-2)
+
+    def test_mxfp4_mm_bias(self):
+        a = jnp.ones((4, 32), jnp.float32)
+        b_t = jnp.ones((6, 32), jnp.float32)
+        aq, sa = mx.quantize_mx(a, "fp4")
+        bq, sb = mx.quantize_mx(b_t, "fp4")
+        bias = jnp.arange(6, dtype=jnp.float32)
+        out = mx.mxfp4_mm(aq, bq, sa, sb, bias, out_dtype=jnp.float32)
+        out0 = mx.mxfp4_mm(aq, bq, sa, sb, out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out - out0), np.tile(np.arange(6), (4, 1)), atol=1e-4)
+
+    def test_nvfp4_mm_matches_dequant_oracle(self):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        a = jax.random.normal(k1, (16, 64), jnp.float32)
+        b_t = jax.random.normal(k2, (8, 64), jnp.float32)
+        aq, sa, tsa = mx.quantize_nvfp4(a)
+        bq, sb, tsb = mx.quantize_nvfp4(b_t)
+        out_scale = tsa * tsb
+        out = mx.nvfp4_mm(aq, bq, sa, sb, out_scale, out_dtype=jnp.float32)
+        ref = mx.dequantize_nvfp4(aq, sa, tsa) @ mx.dequantize_nvfp4(bq, sb, tsb).T
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=1e-2)
