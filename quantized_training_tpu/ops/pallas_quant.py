@@ -139,7 +139,8 @@ def quantize_int8_rowwise(
     """
     M, K = x.shape
     seed = _as_seed(seed)
-    bm = _pick_block(M, K)
+    eb = x.dtype.itemsize
+    bm = _pick_block(M, K, elem_bytes=eb)
     if bm is not None:
         out = pl.pallas_call(
             functools.partial(_rowwise_kernel, eps=eps, sr=sr),
@@ -160,8 +161,8 @@ def quantize_int8_rowwise(
         )(x, seed)
         return out[0], out[1]
 
-    bk = _pick_block(K, 1, step=128)
-    bm = _pick_block(M, bk, step=32)
+    bk = _pick_block(K, 1, step=128, elem_bytes=eb)
+    bm = _pick_block(M, bk, step=32, elem_bytes=eb)
     if bk is None or bm is None:
         raise ValueError(f"no row blocks for shape {x.shape}")
     absmax = pl.pallas_call(
@@ -222,8 +223,9 @@ def quantize_int8_colwise(
     """x [K, N] -> (q int8 [K, N], scale f32 [1, N]); reduce along axis 0."""
     K, N = x.shape
     seed = _as_seed(seed)
-    bn = _pick_block(N, min(K, 2048), step=128)
-    bk = _pick_block(K, bn, step=32) if bn else None
+    eb = x.dtype.itemsize
+    bn = _pick_block(N, min(K, 2048), step=128, elem_bytes=eb)
+    bk = _pick_block(K, bn, step=32, elem_bytes=eb) if bn else None
     if bn is None or bk is None:
         raise ValueError(f"no col blocks for shape {x.shape}")
 
@@ -264,14 +266,15 @@ def supported(x: Array, axis: int) -> bool:
     M, K = x.shape
     if M < 32 or K < 128 or K % 128:
         return False
+    eb = x.dtype.itemsize
     if axis in (1, -1):
-        if _pick_block(M, K) is not None:
+        if _pick_block(M, K, elem_bytes=eb) is not None:
             return True
-        bk = _pick_block(K, 1, step=128)
-        return bk is not None and _pick_block(M, bk, step=32) is not None
+        bk = _pick_block(K, 1, step=128, elem_bytes=eb)
+        return bk is not None and _pick_block(M, bk, step=32, elem_bytes=eb) is not None
     if axis == 0:
-        bn = _pick_block(K, min(M, 2048), step=128)
-        return bn is not None and _pick_block(M, bn, step=32) is not None
+        bn = _pick_block(K, min(M, 2048), step=128, elem_bytes=eb)
+        return bn is not None and _pick_block(M, bn, step=32, elem_bytes=eb) is not None
     return False
 
 
