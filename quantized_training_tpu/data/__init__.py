@@ -10,7 +10,7 @@ from .image import (
     train_transform,
 )
 from .shuffle import BatchLoader, ShuffleDataset
-from .text import HFTextDataset, SyntheticTokenDataset, TokenDataset
+from .text import HFTextDataset, MarkovTokenDataset, SyntheticTokenDataset, TokenDataset
 from .tokenizers import get_tokenizer
 
 
@@ -19,6 +19,7 @@ def get_dataset(type: str, eval: bool = False, **kwargs):
         token=TokenDataset,
         hf_text=HFTextDataset,
         synthetic=SyntheticTokenDataset,
+        markov=MarkovTokenDataset,
         hf_image=HFImageDataset,
         wds=WebDataset,
         synthetic_image=SyntheticImageDataset,
@@ -32,6 +33,7 @@ __all__ = [
     "TokenDataset",
     "HFTextDataset",
     "SyntheticTokenDataset",
+    "MarkovTokenDataset",
     "ShuffleDataset",
     "BatchLoader",
     "HFImageDataset",

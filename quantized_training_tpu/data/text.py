@@ -123,6 +123,77 @@ class SyntheticTokenDataset:
         self._i = state["_i"]
 
 
+class MarkovTokenDataset:
+    """LEARNABLE synthetic stream: a fixed random first-order Markov chain.
+
+    Unlike :class:`SyntheticTokenDataset` (uniform noise, irreducible loss
+    = ln(vocab)), this has real structure — each state transitions to
+    ``branching`` successors with Zipf-ish probabilities — so a model
+    training on it shows a falling loss curve. Used for end-to-end
+    convergence-parity checks (bf16 vs quantized schemes) in zero-egress
+    environments, standing in for the reference's TinyStories loss-curve
+    validation (SURVEY §4.4).
+
+    The chain itself is keyed only by ``seed``; the sampled trajectory is
+    keyed by (seed, sample index) — deterministic and resumable.
+    """
+
+    def __init__(
+        self,
+        seq_len: int,
+        vocab_size: int = 32000,
+        n_states: int = 2048,
+        branching: int = 8,
+        eval: bool = False,
+        seed: int = 2024,
+        n_samples: int | None = None,
+    ) -> None:
+        self.seq_len = seq_len
+        self.vocab_size = vocab_size
+        self.n_states = min(n_states, vocab_size)
+        self.branching = branching
+        self.seed = seed
+        self.n_samples = n_samples if n_samples is not None else (128 if eval else None)
+        self._i = 1_000_000 if eval else 0
+        self._eval_offset = 1_000_000 if eval else 0
+
+        rng = np.random.Generator(np.random.PCG64([seed, 0xC0FFEE]))
+        self._succ = rng.integers(
+            0, self.n_states, (self.n_states, branching), dtype=np.int32
+        )
+        p = 1.0 / np.arange(1, branching + 1)
+        self._probs = p / p.sum()
+        # spread states over the full vocab so the embedding table is used
+        self._state_to_tok = rng.permutation(vocab_size)[: self.n_states].astype(
+            np.int32
+        )
+
+    def __iter__(self):
+        end = (
+            None
+            if self.n_samples is None
+            else self._eval_offset + self.n_samples
+        )
+        while end is None or self._i < end:
+            rng = np.random.Generator(np.random.PCG64([self.seed, self._i]))
+            n = self.seq_len + 1
+            choices = rng.choice(self.branching, size=n, p=self._probs)
+            states = np.empty(n, dtype=np.int32)
+            s = int(rng.integers(0, self.n_states))
+            for t in range(n):
+                states[t] = s
+                s = int(self._succ[s, choices[t]])
+            toks = self._state_to_tok[states]
+            self._i += 1
+            yield toks[:-1], toks[1:]
+
+    def state_dict(self) -> dict:
+        return dict(_i=self._i)
+
+    def load_state_dict(self, state: dict) -> None:
+        self._i = state["_i"]
+
+
 class HFTextDataset:
     """Streaming HF dataset with on-the-fly tokenization and fixed-window
     packing (data/text.py:61-121).
