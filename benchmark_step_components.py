@@ -1,10 +1,11 @@
 """Component-level timing of the train step on the real chip.
 
-Brackets where the time goes: raw MXU matmuls at step shapes, flash
-attention, quantize_int8, forward-only loss, forward+backward, and the
-full train step — for bf16 and int8 mixed-precision. Device-side repeat
-loops (lax.fori_loop chaining) keep host/tunnel dispatch out of the
-numbers.
+Brackets where the time goes: raw MXU matmuls at step shapes,
+quantize_int8 bandwidth, and the full train step per variant (bf16 with
+and without remat; int8 mixed-precision on each ops backend).
+Device-side repeat loops (lax.fori_loop chaining) keep host/tunnel
+dispatch out of the numbers; use profile_step.py for the per-op
+fwd/bwd attribution inside the step.
 
 Usage: python benchmark_step_components.py [--model llama2-1b] [--bs 8]
 """
@@ -178,37 +179,32 @@ def _run_variant(tag, scheme, over, backend, cfg, params, tokens, labels, T,
     from quantized_training_tpu.models import llama
     from quantized_training_tpu.train import init_train_state, make_train_step
 
-    if True:
-        vcfg = dataclasses.replace(cfg, **over)
-        if backend:
-            ops.set_backend(backend)
-        # params arrive as host numpy; fresh device buffers per variant
-        # (the train step donates its state)
-        qparams = quant.quantize_params(
-            jax.tree.map(jnp.asarray, params), scheme
-        )
-        t_fwd = t_bwd = float("nan")
+    vcfg = dataclasses.replace(cfg, **over)
+    if backend:
+        ops.set_backend(backend)
+    # params arrive as host numpy; fresh device buffers per variant
+    # (the train step donates its state)
+    qparams = quant.quantize_params(jax.tree.map(jnp.asarray, params), scheme)
 
-        optimizer = optim.adamw_bf16_sr(bf16_stochastic_rounding=False)
-        state = init_train_state(qparams, optimizer)
-        step_fn = make_train_step(vcfg, optimizer)
-        key = jax.random.PRNGKey(2)
-        state, m = step_fn(state, tokens, labels, 1e-4, key)  # compile
+    optimizer = optim.adamw_bf16_sr(bf16_stochastic_rounding=False)
+    state = init_train_state(qparams, optimizer)
+    step_fn = make_train_step(vcfg, optimizer)
+    key = jax.random.PRNGKey(2)
+    state, m = step_fn(state, tokens, labels, 1e-4, key)  # compile
+    _sync(m)
+    ts = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        state, m = step_fn(state, tokens, labels, 1e-4, jax.random.fold_in(key, i))
         _sync(m)
-        ts = []
-        for i in range(4):
-            t0 = time.perf_counter()
-            state, m = step_fn(state, tokens, labels, 1e-4, jax.random.fold_in(key, i))
-            _sync(m)
-            ts.append(time.perf_counter() - t0)
-        t_step = sorted(ts)[len(ts) // 2]
-        ops.set_backend("auto")
+        ts.append(time.perf_counter() - t0)
+    t_step = sorted(ts)[len(ts) // 2]
+    ops.set_backend("auto")
 
-        log(
-            f"[{tag}] fwd {t_fwd*1e3:,.0f} ms | fwd+bwd {t_bwd*1e3:,.0f} ms | "
-            f"full step {t_step*1e3:,.0f} ms -> {T/t_step:,.0f} tok/s, "
-            f"{step_flops/t_step/1e12:,.0f} TFLOPS-equiv"
-        )
+    log(
+        f"[{tag}] full step {t_step*1e3:,.0f} ms -> {T/t_step:,.0f} tok/s, "
+        f"{step_flops/t_step/1e12:,.0f} TFLOPS-equiv"
+    )
 
 
 if __name__ == "__main__":

@@ -94,6 +94,9 @@ def main():
             toks = measure(cfg, params_host, kw, args.bs, args.seq)
         except Exception as e:
             log(f"{name}: FAILED {type(e).__name__}: {str(e)[:120]}")
+            if kw is None:
+                # speedups are only meaningful against the BF16 baseline
+                raise SystemExit("BF16 baseline failed; aborting ladder")
             continue
         if base is None:
             base = toks

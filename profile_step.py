@@ -64,7 +64,13 @@ def main():
             state, m = step_fn(state, tokens, labels, 1e-4, jax.random.fold_in(key, i))
         sync(m)
 
-    path = sorted(glob.glob(f"{outdir}/**/*.xplane.pb", recursive=True))[-1]
+    traces = sorted(glob.glob(f"{outdir}/**/*.xplane.pb", recursive=True))
+    if not traces:
+        raise SystemExit(
+            f"no .xplane.pb produced under {outdir} — device-side profiling "
+            "may be unsupported in this environment"
+        )
+    path = traces[-1]
     pd = jax.profiler.ProfileData.from_serialized_xspace(open(path, "rb").read())
     agg: dict[str, float] = defaultdict(float)
     for plane in pd.planes:

@@ -154,8 +154,10 @@ class MarkovTokenDataset:
         self.branching = branching
         self.seed = seed
         self.n_samples = n_samples if n_samples is not None else (128 if eval else None)
-        self._i = 1_000_000 if eval else 0
-        self._eval_offset = 1_000_000 if eval else 0
+        # eval draws from a DISJOINT PCG64 stream (not an index offset the
+        # train iterator could walk into after enough steps)
+        self._split = 1 if eval else 0
+        self._i = 0
 
         rng = np.random.Generator(np.random.PCG64([seed, 0xC0FFEE]))
         self._succ = rng.integers(
@@ -169,13 +171,10 @@ class MarkovTokenDataset:
         )
 
     def __iter__(self):
-        end = (
-            None
-            if self.n_samples is None
-            else self._eval_offset + self.n_samples
-        )
-        while end is None or self._i < end:
-            rng = np.random.Generator(np.random.PCG64([self.seed, self._i]))
+        while self.n_samples is None or self._i < self.n_samples:
+            rng = np.random.Generator(
+                np.random.PCG64([self.seed, self._split, self._i])
+            )
             n = self.seq_len + 1
             choices = rng.choice(self.branching, size=n, p=self._probs)
             states = np.empty(n, dtype=np.int32)

@@ -225,7 +225,11 @@ def attention(q: Array, k: Array, v: Array, impl: str = "auto") -> Array:
 
     if impl == "splash":
         kern = _splash_kernel(H // KV, S)
-        qg = (q * (hd**-0.5)).transpose(0, 2, 1, 3).reshape(B, KV, H // KV, S, hd)
+        # splash has no sm_scale arg; scale q in fp32 before the bf16 cast
+        # (one rounding — matches the flash path's fp32 score scaling up to
+        # q's own bf16 storage precision)
+        qs = (q.astype(jnp.float32) * (hd**-0.5)).astype(q.dtype)
+        qg = qs.transpose(0, 2, 1, 3).reshape(B, KV, H // KV, S, hd)
         kg = k.transpose(0, 2, 1, 3)  # [B, KV, S, hd]
         vg = v.transpose(0, 2, 1, 3)
         out = jax.vmap(jax.vmap(kern))(qg, kg, vg)  # [B, KV, H/KV, S, hd]

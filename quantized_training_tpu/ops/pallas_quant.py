@@ -48,12 +48,12 @@ def _pick_block(dim: int, other: int, step: int = 32, elem_bytes: int = 2,
     math temporaries cost ~4x more scoped VMEM on top (16 MB hard limit),
     hence the conservative 1 MB default. None if dim has no such divisor
     (caller falls back to jnp)."""
-    limit = max(step, vmem_budget // max(other * elem_bytes, 1))
+    limit = vmem_budget // max(other * elem_bytes, 1)
     best = None
     for b in range(step, min(dim, limit) + 1, step):
         if dim % b == 0:
             best = b
-    return best
+    return best  # None when even `step` rows blow the budget (huge `other`)
 
 
 def _uniform_noise(shape):
@@ -161,8 +161,9 @@ def quantize_int8_rowwise(
         )(x, seed)
         return out[0], out[1]
 
-    bk = _pick_block(K, 1, step=128, elem_bytes=eb)
-    bm = _pick_block(M, bk, step=32, elem_bytes=eb)
+    # two-pass: bound bk so a [32, bk] tile fits the budget, then grow bm
+    bk = _pick_block(K, 32, step=128, elem_bytes=eb)
+    bm = _pick_block(M, bk, step=32, elem_bytes=eb) if bk else None
     if bk is None or bm is None:
         raise ValueError(f"no row blocks for shape {x.shape}")
     absmax = pl.pallas_call(
@@ -270,7 +271,7 @@ def supported(x: Array, axis: int) -> bool:
     if axis in (1, -1):
         if _pick_block(M, K, elem_bytes=eb) is not None:
             return True
-        bk = _pick_block(K, 1, step=128, elem_bytes=eb)
+        bk = _pick_block(K, 32, step=128, elem_bytes=eb)
         return bk is not None and _pick_block(M, bk, step=32, elem_bytes=eb) is not None
     if axis == 0:
         bn = _pick_block(K, min(M, 2048), step=128, elem_bytes=eb)

@@ -134,6 +134,15 @@ def scaled_mm_general(
     ca, cb = dims
     M = a.shape[1 - ca]
     N = b.shape[1 - cb]
+    if _dispatch.backend() == "pallas":
+        # Explicit opt-in only: the Pallas kernel takes A[M,K] @ B[K,N], so
+        # non-standard contraction dims pay a materialized int8 transpose
+        # here — the XLA default path folds the layout into the GEMM instead.
+        from . import pallas_mm
+
+        a_std = a if ca == 1 else a.T
+        b_std = b if cb == 0 else b.T
+        return pallas_mm.scaled_mm(a_std, b_std, scale_a, scale_b, out_dtype=out_dtype)
     acc = jax.lax.dot_general(
         a, b, (((ca,), (cb,)), ((), ())), preferred_element_type=_accum_dtype(a.dtype)
     ).astype(jnp.float32)

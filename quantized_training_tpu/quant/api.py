@@ -66,21 +66,28 @@ def qlinear(x: Array, w, bias: Array | None = None, *, key: Array | None = None)
 
 
 def _is_linear_weight_path(path) -> bool:
-    """Default filter: leaves stored under a dict key named 'w', excluding
-    the LM head.
+    """True for leaves stored under a dict key named 'w'.
 
     Model convention (models/): every linear kernel is ``{"w": [O, I]}``.
-    The reference quantizes only the transformer body — ``model.model`` —
-    so the lm_head (and the tied embedding) stay full precision
-    (llm_pretrain.py:122, train_utils.py:36-39).
+    This predicate does NOT exclude the lm_head — callers compose their own
+    policy on top (e.g. llm_pretrain's --quantize_lm_head flag); only the
+    DEFAULT filter of :func:`quantize_params` excludes it.
     """
     if not path:
-        return False
-    if any(getattr(p, "key", None) == "lm_head" for p in path):
         return False
     last = path[-1]
     key = getattr(last, "key", None)
     return key == "w"
+
+
+def _default_filter(path, leaf) -> bool:
+    """Linear 'w' leaves except the LM head: the reference quantizes only
+    the transformer body — ``model.model`` — so the lm_head (and the tied
+    embedding) stay full precision (llm_pretrain.py:122,
+    train_utils.py:36-39)."""
+    if any(getattr(p, "key", None) == "lm_head" for p in path):
+        return False
+    return _is_linear_weight_path(path)
 
 
 def quantize_params(
@@ -99,7 +106,7 @@ def quantize_params(
     """
     if scheme is None:
         return params
-    filter_fn = filter_fn or (lambda path, leaf: _is_linear_weight_path(path))
+    filter_fn = filter_fn or _default_filter
 
     if scheme == "mixed_precision":
         config = MixedPrecisionConfig(**kwargs)

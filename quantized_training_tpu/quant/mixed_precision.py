@@ -19,7 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.scaled_mm import scaled_mm, scaled_mm_general
+from ..ops.scaled_mm import scaled_mm_general
 from ..ops.int4_mm import scaled_int4_mm
 from .configs import MixedPrecisionConfig
 from .core import quantize_int8, quantize_int4_rowwise_absmax
