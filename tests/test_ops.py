@@ -96,3 +96,35 @@ class TestInt4MM:
         exact = np.asarray(x @ y.T)
         rel = np.abs(approx - exact).mean() / np.abs(exact).mean()
         assert rel < 0.2, rel
+
+
+class TestScaledMmGeneralBackend:
+    def test_pallas_opt_in_matches_xla(self):
+        from quantized_training_tpu import ops
+        from quantized_training_tpu.ops.scaled_mm import scaled_mm_general
+
+        k = jax.random.PRNGKey(0)
+        a = jax.random.randint(k, (64, 128), -127, 128, jnp.int8)
+        b = jax.random.randint(jax.random.fold_in(k, 1), (32, 128), -127, 128, jnp.int8)
+        sa = jnp.abs(jax.random.normal(jax.random.fold_in(k, 2), (64, 1))) * 0.01
+        sb = jnp.abs(jax.random.normal(jax.random.fold_in(k, 3), (1, 32))) * 0.01
+        ref = scaled_mm_general(a, b, sa, sb, dims=(1, 1), out_dtype=jnp.float32)
+        # the pallas backend on CPU would need interpret mode; exercise the
+        # dispatch routing via a monkeypatched kernel that records the call
+        import quantized_training_tpu.ops.pallas_mm as pallas_mm
+
+        calls = {}
+        orig = pallas_mm.scaled_mm
+
+        def spy(a2, b2, sa2, sb2, **kw):
+            calls["shapes"] = (a2.shape, b2.shape)
+            return orig(a2, b2, sa2, sb2, interpret=True, **kw)
+
+        try:
+            pallas_mm.scaled_mm = spy
+            with ops.use_backend("pallas"):
+                out = scaled_mm_general(a, b, sa, sb, dims=(1, 1), out_dtype=jnp.float32)
+        finally:
+            pallas_mm.scaled_mm = orig
+        assert calls["shapes"] == ((64, 128), (128, 32))  # b transposed to standard
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)

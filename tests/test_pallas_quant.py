@@ -70,3 +70,19 @@ def test_supported_gates():
     x3 = jnp.zeros((2, 64, 128), jnp.bfloat16)
     assert not pallas_quant.supported(x3, 1)
     assert not pallas_quant.supported(jnp.zeros((64, 128), jnp.int8), 1)
+
+
+def test_rowwise_two_pass_wide_k():
+    """Wide-K inputs must fall to the K-blocked two-pass kernels instead of
+    compiling an over-budget single tile."""
+    from quantized_training_tpu.ops.pallas_quant import _pick_block
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 20480), jnp.float32) * 2
+    assert _pick_block(32, 20480, elem_bytes=4) is None  # single-pass rejected
+    assert pallas_quant.supported(x, 1)
+    q, s = pallas_quant.quantize_int8_rowwise(x, interpret=True)
+    q_ref, s_ref = quantize_int8(x, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(s, np.float32).ravel(), np.asarray(s_ref, np.float32).ravel(), rtol=1e-5
+    )
+    assert np.abs(np.asarray(q, np.int32) - np.asarray(q_ref, np.int32)).max() <= 1
