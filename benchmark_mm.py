@@ -31,35 +31,75 @@ from quantized_training_tpu.quant import core
 PEAKS = {"bf16": 197.0, "int8": 394.0}  # TPU v5e
 
 
-def device_loop_tflops(fn, args, flops_per_iter: float, n_iters: int = 200) -> float:
-    """Time fn(*args) repeated n_iters times device-side; returns TFLOPS.
+def _sync(x):
+    np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[0]))
 
-    Anti-DCE/anti-hoist chaining: every iteration fully reduces the output
-    into a scalar (so no output column can be dead-code-eliminated) and
-    perturbs the first input with a value-preserving function of that
-    scalar (so the op is not loop-invariant and cannot be hoisted).
+
+def device_loop_tflops(
+    fn, args, flops_per_iter: float, it_lo: int | None = None,
+    it_hi: int | None = None,
+) -> float:
+    """Differential device-side timing of fn(*args) -> TFLOPS.
+
+    Anti-DCE/anti-hoist chaining: ALL of the output folds back into the
+    next iteration's first operand (so the op can be neither eliminated,
+    narrowed, nor hoisted out of the loop), and timing two iteration
+    counts cancels both the fixed dispatch latency (~25-40 ms through the
+    remote tunnel) and the per-iteration fold pass. (An earlier version
+    reduced the output to a scalar each iteration — that full reduce cost
+    a pass over [M,N] per iteration and under-reported small-matmul rates
+    by ~2x.)
     """
+    if it_lo is None:
+        # size the differential to ~0.1 s of work at MXU peak, so small
+        # matmuls (sub-0.1 ms each) are not lost in run-to-run noise
+        d = min(20000, max(64, int(4e13 / flops_per_iter)))
+        it_lo, it_hi = max(8, d // 4), max(8, d // 4) + d
 
-    @jax.jit
-    def many(x0, *rest):
-        def body(i, carry):
-            x, acc = carry
-            out = fn(x, *rest)
-            s = jnp.sum(out.astype(jnp.float32) * 1e-12)  # consumes all
-            # data dependency that never changes values (s is never NaN)
-            # but cannot be folded away by the compiler
-            x = x + jnp.where(jnp.isnan(s), 1, 0).astype(x.dtype)
-            return (x, acc + s)
+    x0 = args[0]
+    M = x0.shape[0]
 
-        return jax.lax.fori_loop(0, n_iters, body, (x0, jnp.zeros((), jnp.float32)))
+    def make(iters):
+        @jax.jit
+        def many(x0, *rest):
+            def body(i, x):
+                out = fn(x, *rest)
+                N = out.shape[1]
+                K = x.shape[1]
+                # consume EVERY output column in K-wide slices (so the dot
+                # cannot be narrowed) with a single read of `out` — a
+                # pad+reshape here costs ~3 extra passes over [M, N] and
+                # under-reports wide-N matmuls
+                folded = out[:, :K].astype(jnp.float32)
+                if folded.shape[1] < K:  # N < K
+                    folded = jnp.pad(folded, ((0, 0), (0, K - folded.shape[1])))
+                for s in range(K, N, K):
+                    chunk = out[:, s : s + K].astype(jnp.float32)
+                    if chunk.shape[1] < K:
+                        chunk = jnp.pad(chunk, ((0, 0), (0, K - chunk.shape[1])))
+                    folded = folded + chunk
+                if x.dtype == jnp.int8:
+                    return (x ^ folded.astype(jnp.int8)) | jnp.int8(1)
+                return x + (folded * 1e-9).astype(x.dtype)
 
-    (xf, acc) = many(*args)
-    _ = float(acc)  # compile+warm with readback
-    t0 = time.perf_counter()
-    (xf, acc) = many(*args)
-    _ = float(acc)
-    dt = time.perf_counter() - t0
-    return flops_per_iter * n_iters / dt / 1e12
+            return jax.lax.fori_loop(0, iters, body, x0)
+
+        return many
+
+    f_lo, f_hi = make(it_lo), make(it_hi)
+    _sync(f_lo(*args))
+    _sync(f_hi(*args))
+
+    def t(f):
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _sync(f(*args))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    dt = (t(f_hi) - t(f_lo)) / (it_hi - it_lo)
+    return flops_per_iter / dt / 1e12
 
 
 def check(name, actual, ref, atol, rtol):
@@ -179,12 +219,14 @@ def bench_train_shapes():
         flops = 2.0 * M * K * N
 
         bf16 = device_loop_tflops(
-            lambda x_, w_: x_ @ w_.T, (x, w), flops, n_iters=50,
+            lambda x_, w_: x_ @ w_.T, (x, w), flops,
         )
         with ops.use_backend("xla"):
+            # dims=(1,1): the transpose-free form _mp_linear actually uses
+            # (w stays [N, K], quantized row-wise along its contraction axis)
             dyn = device_loop_tflops(
-                lambda x_, w_: _dynamic_int8_mm(x_, w_.T, False, None),
-                (x, w), flops, n_iters=50,
+                lambda x_, w_: _dynamic_int8_mm(x_, w_, False, None, (1, 1)),
+                (x, w), flops,
             )
         print(
             f"  {name:16s} M={M} K={K} N={N}: bf16 {bf16:6.1f}  dyn_int8 {dyn:6.1f} "
