@@ -1,5 +1,6 @@
 from .collectives import benchmark_collectives
 from .fsdp import bitnet_fsdp_linear, enable_bitnet_fsdp
+from .tp import kv_cache_spec, shard_kv_cache, shard_params_tp, tp_param_spec
 from .mesh import (
     batch_spec,
     make_mesh,
@@ -19,4 +20,8 @@ __all__ = [
     "bitnet_fsdp_linear",
     "enable_bitnet_fsdp",
     "benchmark_collectives",
+    "tp_param_spec",
+    "shard_params_tp",
+    "kv_cache_spec",
+    "shard_kv_cache",
 ]
