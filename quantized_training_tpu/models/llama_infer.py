@@ -88,22 +88,25 @@ def _cached_attention(q, k_new, v_new, layer_cache, pos):
     k_deq = k_c.astype(ks_c.dtype) * ks_c  # [B, S, KV, hd]
     v_deq = v_c.astype(vs_c.dtype) * vs_c
 
-    if KV != H:
-        rep = H // KV
-        k_deq = jnp.repeat(k_deq, rep, axis=2)
-        v_deq = jnp.repeat(v_deq, rep, axis=2)
-
+    # GQA WITHOUT materializing the head repeat: group the q heads as
+    # [B, T, KV, G, hd] and batch the einsum over the KV dim. A
+    # jnp.repeat here materializes a [B, S, KV, G, hd] (fp32 after the
+    # score einsum's operand promotion) copy of the cache per layer per
+    # decode step — measured ~30 ms/step at bs32 S528 on v5e, the decode
+    # bottleneck.
+    G = H // KV
+    qg = q.reshape(B, T, KV, G, hd)
     scores = jnp.einsum(
-        "bthd,bshd->bhts", q, k_deq, preferred_element_type=jnp.float32
+        "btkgd,bskd->bkgts", qg, k_deq, preferred_element_type=jnp.float32
     ) * (hd**-0.5)
     # position t (absolute pos+t) may attend to cache positions <= pos+t
     t_ids = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0) + pos
     s_ids = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
     mask = s_ids <= t_ids
-    scores = jnp.where(mask[None, None], scores, -jnp.inf)
+    scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    ctx = jnp.einsum("bhts,bshd->bthd", probs, v_deq)
-    return ctx, (k_c, ks_c, v_c, vs_c)
+    ctx = jnp.einsum("bkgts,bskd->btkgd", probs, v_deq)
+    return ctx.reshape(B, T, H, hd), (k_c, ks_c, v_c, vs_c)
 
 
 def forward_with_cache(
