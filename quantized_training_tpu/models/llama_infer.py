@@ -83,6 +83,21 @@ def _cached_attention(q, k_new, v_new, layer_cache, pos):
     v_c = jax.lax.dynamic_update_slice(v_c, v_q, (0, pos, 0, 0))
     vs_c = jax.lax.dynamic_update_slice(vs_c, v_s.astype(vs_c.dtype), (0, pos, 0, 0))
 
+    # PREFILL fast path: at pos==0 (static) nothing before the fresh tokens
+    # exists, so causal attention over the dequantized fresh K/V equals
+    # attention over the cache — route it through the flash/splash kernel
+    # instead of materializing [B, H, T, S] fp32 scores (~250 ms at bs32
+    # T512 on v5e). Attending over dequant(quant(k)) keeps prefill/decode
+    # numerics identical (both see the quantized cache).
+    if isinstance(pos, int) and pos == 0 and T > 1:
+        from . import llama as _llama
+
+        if _llama._resolve_attn_impl("auto", T) != "xla":
+            k_deq_new = (k_q.astype(k_s.dtype) * k_s).astype(q.dtype)
+            v_deq_new = (v_q.astype(v_s.dtype) * v_s).astype(q.dtype)
+            ctx = _llama.attention(q, k_deq_new, v_deq_new, "auto")
+            return ctx, (k_c, ks_c, v_c, vs_c)
+
     # dequantize the whole cache for attention (bf16 MXU); masked positions
     # have scale 0 so they contribute zeros pre-mask anyway
     k_deq = k_c.astype(ks_c.dtype) * ks_c  # [B, S, KV, hd]
