@@ -9,11 +9,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-import importlib
-
-# the package re-exports a conv2d FUNCTION that shadows the module on
-# `from ... import conv2d` — resolve the module explicitly
-conv_ops = importlib.import_module("quantized_training_tpu.ops.conv2d")
+from quantized_training_tpu.ops import conv as conv_ops
 
 # (batch, H, W, C_in, C_out, kernel, stride) — ResNet/VAE-style shapes
 SHAPES = [

@@ -48,10 +48,10 @@ def main():
         f"quantize={args.quantize}, int8 KV cache")
 
     results = []
+    qparams = quant.quantize_params(
+        jax.tree.map(jnp.asarray, params_host), args.quantize
+    )
     for bs in args.bs:
-        qparams = quant.quantize_params(
-            jax.tree.map(jnp.asarray, params_host), args.quantize
-        )
         prompt = jax.random.randint(
             jax.random.PRNGKey(1), (bs, args.prompt_len), 0, cfg.vocab_size, jnp.int32
         )
@@ -86,7 +86,6 @@ def main():
         )
         results.append({"batch": bs, "gen_tokens_per_sec": round(decode_tps, 1),
                         "wall_ms": round(dt * 1e3, 1)})
-        del qparams
 
     print(json.dumps({
         "metric": f"{args.model}_int8kv_generate_tokens_per_sec",

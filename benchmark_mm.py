@@ -54,7 +54,9 @@ def device_loop_tflops(
         # size the differential to ~0.1 s of work at MXU peak, so small
         # matmuls (sub-0.1 ms each) are not lost in run-to-run noise
         d = min(20000, max(64, int(4e13 / flops_per_iter)))
-        it_lo, it_hi = max(8, d // 4), max(8, d // 4) + d
+        it_lo = max(8, d // 4)
+    if it_hi is None:
+        it_hi = it_lo * 5
 
     x0 = args[0]
     M = x0.shape[0]

@@ -45,14 +45,11 @@ def timed(fn, *args, iters=4):
     return sorted(ts)[len(ts) // 2]
 
 
-def bench_matmul(M, K, N, dtype, it_lo=32, it_hi=160):
-    """Differential device-side chained matmul loop -> TFLOPS.
+def bench_matmul(M, K, N, dtype):
+    """Raw dot_general TFLOPS via benchmark_mm's differential device-loop
+    harness (single timing methodology for all published numbers)."""
+    from benchmark_mm import device_loop_tflops
 
-    Every element of the output feeds the next iteration's A operand (so
-    XLA can neither hoist nor narrow the dot), and the fixed host/tunnel
-    dispatch latency (~25-40 ms here) plus the per-iteration fold pass is
-    cancelled by timing two iteration counts and using the difference.
-    """
     acc_t = jnp.int32 if dtype == jnp.int8 else jnp.float32
     if dtype == jnp.int8:
         a = jax.random.randint(jax.random.PRNGKey(0), (M, K), -127, 128, jnp.int8)
@@ -61,32 +58,13 @@ def bench_matmul(M, K, N, dtype, it_lo=32, it_hi=160):
         a = (jax.random.normal(jax.random.PRNGKey(0), (M, K)) * 0.1).astype(dtype)
         b = (jax.random.normal(jax.random.PRNGKey(1), (K, N)) * 0.1).astype(dtype)
 
-    def make(iters):
-        @jax.jit
-        def f(a, b):
-            def body(i, a):
-                out = jax.lax.dot_general(
-                    a, b, (((1,), (0,)), ((), ())), preferred_element_type=acc_t
-                )
-                mult = -(-N // K)
-                outp = (
-                    jnp.pad(out, ((0, 0), (0, mult * K - N)))
-                    if N != mult * K
-                    else out
-                )
-                folded = outp.reshape(M, mult, K).sum(1)
-                if dtype == jnp.int8:
-                    return (a ^ folded.astype(jnp.int8)) | jnp.int8(1)
-                return a + (folded.astype(jnp.float32) * 1e-9).astype(dtype)
-
-            return jax.lax.fori_loop(0, iters, body, a)
-
-        return f
-
-    t_lo = timed(make(it_lo), a, b, iters=3)
-    t_hi = timed(make(it_hi), a, b, iters=3)
-    dt = (t_hi - t_lo) / (it_hi - it_lo)
-    return 2 * M * K * N / dt / 1e12
+    return device_loop_tflops(
+        lambda a_, b_: jax.lax.dot_general(
+            a_, b_, (((1,), (0,)), ((), ())), preferred_element_type=acc_t
+        ),
+        (a, b),
+        2.0 * M * K * N,
+    )
 
 
 def main():

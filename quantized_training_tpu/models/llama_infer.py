@@ -68,7 +68,7 @@ def _quant_kv(x: Array):
     return quantize_int8(x, axis=-1)
 
 
-def _cached_attention(q, k_new, v_new, layer_cache, pos):
+def _cached_attention(q, k_new, v_new, layer_cache, pos, flash_prefill=True):
     """q/k_new/v_new: [B, T, H/KV, hd]; layer_cache: per-layer KVCache
     slices (k [B, S, KV, hd] int8, ...). Returns (ctx, updated slices)."""
     k_c, ks_c, v_c, vs_c = layer_cache
@@ -89,13 +89,14 @@ def _cached_attention(q, k_new, v_new, layer_cache, pos):
     # instead of materializing [B, H, T, S] fp32 scores (~250 ms at bs32
     # T512 on v5e). Attending over dequant(quant(k)) keeps prefill/decode
     # numerics identical (both see the quantized cache).
-    if isinstance(pos, int) and pos == 0 and T > 1:
-        from . import llama as _llama
-
-        if _llama._resolve_attn_impl("auto", T) != "xla":
+    # NOT taken under tensor parallelism (flash_prefill=False): GSPMD
+    # cannot partition the Pallas kernel over head-sharded operands — the
+    # einsum path below partitions cleanly over the 'model' axis.
+    if flash_prefill and isinstance(pos, int) and pos == 0 and T > 1:
+        if llama._resolve_attn_impl("auto", T) != "xla":
             k_deq_new = (k_q.astype(k_s.dtype) * k_s).astype(q.dtype)
             v_deq_new = (v_q.astype(v_s.dtype) * v_s).astype(q.dtype)
-            ctx = _llama.attention(q, k_deq_new, v_deq_new, "auto")
+            ctx = llama.attention(q, k_deq_new, v_deq_new, "auto")
             return ctx, (k_c, ks_c, v_c, vs_c)
 
     # dequantize the whole cache for attention (bf16 MXU); masked positions
@@ -130,6 +131,7 @@ def forward_with_cache(
     cache: KVCache,
     pos,
     cfg: llama.LlamaConfig,
+    flash_prefill: bool = True,
 ):
     """tokens [B, T] at absolute positions pos..pos+T -> (logits [B, T, V],
     updated cache). Used for both prefill (T>1) and decode (T=1)."""
@@ -149,7 +151,9 @@ def forward_with_cache(
         v = qlinear(h, lp["v"]["w"]).reshape(B, T, KV, hd)
         q = llama.apply_rope(q, cos, sin)
         k = llama.apply_rope(k, cos, sin)
-        ctx, new_cache = _cached_attention(q, k, v, (kc, ksc, vc, vsc), pos)
+        ctx, new_cache = _cached_attention(
+            q, k, v, (kc, ksc, vc, vsc), pos, flash_prefill
+        )
         ctx = ctx.reshape(B, T, H * hd)
         if cfg.bitnet:
             ctx = llama.rms_norm(ctx, lp["o_norm"]["g"], cfg.rms_norm_eps)
@@ -185,19 +189,36 @@ def generate(
     temperature: float = 0.0,
     key: Array | None = None,
     max_len: int | None = None,
+    mesh=None,
+    flash_prefill: bool | None = None,
 ):
     """Greedy (temperature=0) or sampled generation.
 
     prompt [B, T_prompt] int32 -> [B, T_prompt + max_new_tokens].
     One prefill pass + a scanned decode loop, all jittable.
+
+    ``mesh``: tensor-parallel serving — the KV cache is created sharded
+    over the 'model' axis (parallel.shard_kv_cache) and the Pallas
+    prefill fast path is disabled (GSPMD cannot partition it over
+    head-sharded operands); pass params through parallel.shard_params_tp.
     """
     B, T0 = prompt.shape
     max_len = max_len or (T0 + max_new_tokens)
     if key is None:
         key = jax.random.PRNGKey(0)
     cache = KVCache.zeros(cfg, B, max_len)
+    if mesh is not None:
+        from ..parallel import shard_kv_cache
 
-    logits, cache = forward_with_cache(params, prompt, cache, 0, cfg)
+        cache = shard_kv_cache(cache, mesh)
+        if flash_prefill is None:
+            flash_prefill = mesh.shape.get("model", 1) == 1
+    if flash_prefill is None:
+        flash_prefill = True
+
+    logits, cache = forward_with_cache(
+        params, prompt, cache, 0, cfg, flash_prefill=flash_prefill
+    )
     last_logits = logits[:, -1].astype(jnp.float32)
 
     def sample(logits, k):

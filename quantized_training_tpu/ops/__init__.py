@@ -6,7 +6,7 @@ implementations: XLA-lowered jnp paths plus Pallas MXU kernels selected via
 """
 
 from ._dispatch import set_backend, use_backend
-from .conv2d import conv2d, int8_conv2d, scaled_int8_conv2d
+from .conv import conv2d, int8_conv2d, scaled_int8_conv2d
 from .fp8 import fp8_mm, quantize_fp8, scaled_fp8_mm
 from .int4_mm import int4_mm, scaled_int4_mm, unpack_int4
 from .mx import (

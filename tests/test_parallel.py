@@ -186,8 +186,10 @@ class TestTensorParallelInference:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=0.05, atol=0.05
         )
-        # and generation runs end-to-end under TP
-        toks = jax.jit(lambda p, t: llama_infer.generate(p, t, cfg, 8))(p_tp, prompt)
+        # and generation runs end-to-end under TP with a sharded KV cache
+        toks = jax.jit(
+            lambda p, t: llama_infer.generate(p, t, cfg, 8, mesh=mesh)
+        )(p_tp, prompt)
         assert toks.shape == (2, 24)
 
     def test_tp_spec_rules(self):

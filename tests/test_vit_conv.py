@@ -9,9 +9,7 @@ import pytest
 
 from quantized_training_tpu import optim, quant
 from quantized_training_tpu.models import vit
-import importlib
-
-conv_ops = importlib.import_module("quantized_training_tpu.ops.conv2d")
+from quantized_training_tpu.ops import conv as conv_ops
 
 TINY_VIT = vit.ViTConfig(
     image_size=32, patch_size=8, hidden_size=64, num_layers=2, num_heads=2,
