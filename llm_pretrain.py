@@ -64,6 +64,8 @@ def main() -> None:
     parser.add_argument("--resume")
     parser.add_argument("--ckpt_interval", type=int, default=1000)
     parser.add_argument("--run_name", default="run")
+    parser.add_argument("--save_dir", default="runs/llm_pretrain",
+                        help="base directory for run artifacts")
     parser.add_argument("--seed", type=int, default=2024)
     parser.add_argument("--log_interval", type=int, default=50)
     parser.add_argument("--profile", action="store_true")
@@ -168,7 +170,7 @@ def main() -> None:
             enable_bitnet_fsdp(mesh)
     step_fn = make_train_step(cfg, optimizer, clip_grad_norm=args.clip_grad_norm)
 
-    save_dir = Path("runs/llm_pretrain") / (
+    save_dir = Path(args.save_dir) / (
         f"{datetime.now().strftime('%Y%m%d_%H%M%S')}_{args.run_name}"
     )
     logger = MetricLogger(save_dir)
