@@ -157,10 +157,12 @@ def scaled_mm(
 # ---------------------------------------------------------------------------
 
 
-def _tile_scaled_mm_kernel(a_ref, b_ref, sa_ref, sb_ref, out_ref, acc_ref):
-    """One K step == one quant block: int32 inner product for this block is
-    rescaled by sa[:, k] x sb[k, :] and accumulated in fp32
-    (triton_mm.py:313-331 v2 loop).
+def _tile_scaled_mm_kernel(a_ref, b_ref, sa_ref, sb_ref, out_ref, acc_ref, *, qk, n_q):
+    """One K grid step covers ``n_q`` quant blocks of width ``qk``: each
+    block's int32 inner product is rescaled by its sa x sb pair and
+    accumulated in fp32 (the two-accumulator structure of
+    triton_mm.py:313-331, unrolled n_q-wide so the A/B DMAs amortize —
+    one-block-per-step was DMA-bound at ~60 TFLOPS on v5e).
 
     The per-K-block scales arrive as 3D arrays ([KB, M, 1] / [KB, 1, N])
     whose leading dim is indexed by the K grid position in the BlockSpec —
@@ -172,15 +174,17 @@ def _tile_scaled_mm_kernel(a_ref, b_ref, sa_ref, sb_ref, out_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    part = jax.lax.dot_general(
-        a_ref[:],
-        b_ref[:],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32 if a_ref.dtype == jnp.int8 else jnp.float32,
-    )
-    sa_col = sa_ref[0]  # [bm, 1]
-    sb_row = sb_ref[0]  # [1, bn]
-    acc_ref[:] += part.astype(jnp.float32) * sa_col * sb_row
+    acc_dtype = jnp.int32 if a_ref.dtype == jnp.int8 else jnp.float32
+    acc = acc_ref[:]
+    for j in range(n_q):
+        part = jax.lax.dot_general(
+            a_ref[:, j * qk : (j + 1) * qk],
+            b_ref[j * qk : (j + 1) * qk, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype,
+        )
+        acc = acc + part.astype(jnp.float32) * sa_ref[j] * sb_ref[j]
+    acc_ref[:] = acc
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
@@ -204,10 +208,10 @@ def tile_scaled_mm(
 ) -> Array:
     """Tile-scaled matmul: scale_a [M/QM, K/QK], scale_b [K/QK, N/QN].
 
-    The K block size equals the K quant block (QK), so each grid step
-    applies exactly one pair of block scales. Row/col-expanded scale grids
-    ([M, K/QK] and [K/QK, N] fp32) are materialized by the wrapper — a few
-    hundred KB at LLM shapes.
+    Each K grid step covers up to 16 quant blocks (unrolled in-kernel with
+    per-block rescale). Row/col-expanded scale grids ([M, K/QK] and
+    [K/QK, N] fp32) are materialized by the wrapper — a few hundred KB at
+    LLM shapes.
     """
     M, K = a.shape
     N = b.shape[1]
@@ -222,10 +226,14 @@ def tile_scaled_mm(
     sb3 = sb_full[:, None, :]  # [KB, 1, N]
 
     bm, bn = min(block_m, _round_up(M, 128)), min(block_n, _round_up(N, 128))
-    bk = max(qk, 128)
-    assert bk % qk == 0 and bk == qk, (
-        f"K quant block ({qk}) must be >= 128 and equal the kernel K block"
-    )
+    assert qk >= 128, f"K quant block ({qk}) must be >= 128"
+    # unroll up to 16 quant blocks per grid step (amortizes the A/B DMAs)
+    n_q = 1
+    for cand in (16, 8, 4, 2):
+        if n_qk % cand == 0 and cand * qk <= 4096:
+            n_q = cand
+            break
+    bk = n_q * qk
     Mp, Np = _round_up(M, bm), _round_up(N, bn)
     a = _pad2(a, Mp, K)
     b = _pad2(b, K, Np)
@@ -235,13 +243,13 @@ def tile_scaled_mm(
         sb3 = jnp.pad(sb3, ((0, 0), (0, 0), (0, Np - N)))
 
     out = pl.pallas_call(
-        _tile_scaled_mm_kernel,
-        grid=(Mp // bm, Np // bn, n_qk),
+        functools.partial(_tile_scaled_mm_kernel, qk=qk, n_q=n_q),
+        grid=(Mp // bm, Np // bn, n_qk // n_q),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bm, 1), lambda i, j, k: (k, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_q, bm, 1), lambda i, j, k: (k, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_q, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
