@@ -179,10 +179,16 @@ def main() -> None:
 
     step = 0
     if args.resume is not None:
+        from quantized_training_tpu.parallel import state_shardings
+        from quantized_training_tpu.utils import materialize, restore_sharded
+
         ckpt = load_checkpoint(args.resume)
-        state = jax.tree.map(jnp.asarray, ckpt["state"])
         if mesh is not None:
-            state = shard_state(state, mesh)
+            # shard-by-shard restore: cross-host FSDP shards are placed on
+            # their devices directly, never gathered to one host
+            state = restore_sharded(ckpt["state"], state_shardings(state, mesh))
+        else:
+            state = jax.tree.map(jnp.asarray, materialize(ckpt["state"]))
         dloader.load_state_dict(ckpt["dloader"])
         step = ckpt["meta"]["step"]
         print(f"Resumed from {args.resume} at step {step}")

@@ -36,6 +36,11 @@ from ..quant import qlinear
 
 Array = jax.Array
 
+# checkpoint_name tag on the splash-attention (out, logsumexp) residuals;
+# `forward`'s remat policy saves these so bwd skips the attention-fwd
+# recompute (see _splash_kernel)
+ATTN_RESIDUAL_NAME = "attn_residuals"
+
 
 @dataclass(frozen=True)
 class LlamaConfig:
@@ -107,6 +112,14 @@ def init_params(key: Array, cfg: LlamaConfig, dtype=jnp.bfloat16):
     def w(k, shape):
         return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
 
+    # NOTE on projection fusion: a fused group-major qkv ([L, H+2KV, D])
+    # and gate_up ([L, 2F, D]) variant was built and measured on v5e —
+    # it LOST ~8% int8 train throughput (12.4k vs 13.5k tok/s). With SR
+    # off, XLA CSE already deduplicates the identical dynamic quantizes
+    # of the shared input h across q/k/v (and gate/up), so fusion saved
+    # nothing there while the output split slices and the backward
+    # grad-concat added full HBM passes per layer. Separate projections
+    # are the measured-faster TPU layout.
     layers = {
         "attn_norm": {"g": jnp.ones((L, D), dtype)},
         "q": {"w": w(next(keys), (L, H, D))},
@@ -206,7 +219,14 @@ def _splash_kernel(groups: int, seq: int):
         block_q_dq=bq, block_kv_dq=bkv,
     )
     mask = sam.MultiHeadMask([sam.CausalMask((seq, seq)) for _ in range(groups)])
-    return sak.make_splash_mqa_single_device(mask, block_sizes=bs)
+    # residual_checkpoint_name tags the kernel's (out, logsumexp) residuals
+    # so the remat policy in `forward` can SAVE them: the attention forward
+    # is then not recomputed during the backward pass (the kernel bwd only
+    # needs q/k/v/out/lse), which removes ~5 ms/layer of recompute at
+    # B8 S2048 while costing only ~69 MB/layer (out bf16 + lse f32).
+    return sak.make_splash_mqa_single_device(
+        mask, block_sizes=bs, residual_checkpoint_name=ATTN_RESIDUAL_NAME
+    )
 
 
 def attention(q: Array, k: Array, v: Array, impl: str = "auto") -> Array:
@@ -246,7 +266,11 @@ def attention(q: Array, k: Array, v: Array, impl: str = "auto") -> Array:
             flash_attention,
         )
 
+        # largest power-of-two divisor of S up to 512: the kernel requires
+        # S % block == 0, and 'auto' admits any S % 128 == 0 (e.g. 640/1152)
         b = min(512, S)
+        while S % b:
+            b //= 2
         bs = BlockSizes(
             block_q=b, block_k_major=b, block_k=b, block_b=1,
             block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
@@ -319,8 +343,8 @@ def _decoder_layer(cfg: LlamaConfig, x, lp, cos, sin, key):
     return _post_attn_part(cfg, x, ctx, lp, key)
 
 
-def forward(params, tokens: Array, cfg: LlamaConfig, key: Array | None = None):
-    """tokens [B, S] int32 -> logits [B, S, V] (model dtype; cast for loss).
+def backbone(params, tokens: Array, cfg: LlamaConfig, key: Array | None = None):
+    """tokens [B, S] int32 -> final-norm hidden states [B, S, D].
 
     ``key`` seeds stochastic rounding inside quantized linears (unused for
     deterministic schemes).
@@ -334,8 +358,18 @@ def forward(params, tokens: Array, cfg: LlamaConfig, key: Array | None = None):
     layer_body = partial(_decoder_layer, cfg)
     if cfg.remat:
         # per-layer activation checkpointing (llm_pretrain.py:112-113);
-        # see _decoder_layer's docstring for the granularity constraint
-        layer_body = jax.checkpoint(layer_body)
+        # see _decoder_layer's docstring for the granularity constraint.
+        # The policy keeps the splash kernel's named (out, lse) residuals
+        # so the attention forward is NOT recomputed in the backward —
+        # everything else (norms, quantizes, projections) still remats.
+        # On non-splash paths no value carries the name, so this degrades
+        # to plain full remat.
+        layer_body = jax.checkpoint(
+            layer_body,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                ATTN_RESIDUAL_NAME
+            ),
+        )
 
     def scan_fn(x, inputs):
         lp, lkey = inputs
@@ -346,12 +380,23 @@ def forward(params, tokens: Array, cfg: LlamaConfig, key: Array | None = None):
     )
     x, _ = jax.lax.scan(scan_fn, x, (params["layers"], layer_keys))
 
-    x = rms_norm(x, params["final_norm"]["g"], cfg.rms_norm_eps)
-    lm_w = (
+    return rms_norm(x, params["final_norm"]["g"], cfg.rms_norm_eps)
+
+
+def _lm_head_weight(params, cfg: LlamaConfig):
+    return (
         params["embed"]["embedding"]
         if cfg.tie_word_embeddings
         else params["lm_head"]["w"]
     )
+
+
+def forward(params, tokens: Array, cfg: LlamaConfig, key: Array | None = None):
+    """tokens [B, S] int32 -> logits [B, S, V] (model dtype; cast for loss)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    x = backbone(params, tokens, cfg, key)
+    lm_w = _lm_head_weight(params, cfg)
     return qlinear(x, lm_w, key=jax.random.fold_in(key, 0x7FFFFFFF))
 
 
@@ -360,7 +405,25 @@ def loss_fn(params, tokens: Array, labels: Array, cfg: LlamaConfig, key=None):
 
     labels == -100 are ignored (the padding convention of the finetune
     driver, llm_finetune.py).
+
+    When the LM head is a plain (unquantized) weight the logits never
+    materialize: the head matmul and the softmax/NLL run chunk-fused
+    (ops/cross_entropy.py), saving the [T, V] fp32 log-softmax residual
+    and dlogits buffers (~3 GB at bench shapes). A quantized LM head
+    (--quantize_lm_head) falls back to explicit logits so the quantized
+    matmul semantics are preserved.
     """
+    lm_w = _lm_head_weight(params, cfg)
+    if isinstance(lm_w, jax.Array):
+        from ..ops.cross_entropy import fused_linear_cross_entropy
+
+        x = backbone(params, tokens, cfg, key)
+        x2d = x.reshape(-1, x.shape[-1])
+        nll_sum, n_valid = fused_linear_cross_entropy(
+            x2d, lm_w, labels.reshape(-1)
+        )
+        return nll_sum / jnp.maximum(n_valid, 1)
+
     logits = forward(params, tokens, cfg, key).astype(jnp.float32)
     V = logits.shape[-1]
     logits = logits.reshape(-1, V)

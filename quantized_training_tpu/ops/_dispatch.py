@@ -33,6 +33,16 @@ def backend() -> str:
     return "xla"
 
 
+def raw_backend() -> str:
+    """The un-resolved setting ('auto' | 'xla' | 'pallas').
+
+    The quantize hot path (quant/core.py) uses this to distinguish
+    'auto' (Pallas fused quantize allowed — it beats any XLA lowering)
+    from an explicit 'xla' opt-out (A/B benchmarking must measure the
+    pure-XLA path it claims to measure)."""
+    return _BACKEND
+
+
 @contextlib.contextmanager
 def use_backend(name: str):
     global _BACKEND

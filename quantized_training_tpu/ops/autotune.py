@@ -1,0 +1,240 @@
+"""Block-config autotuner for the Pallas MXU kernels.
+
+The TPU analog of the reference's 26-config Triton autotune sweep
+(kernels/gn_kernels/triton_mm.py:9-43): enumerate (block_m, block_n,
+block_k) candidates that fit VMEM, time each on-device with the same
+differential device-loop methodology as ``benchmark_mm.py`` (two
+iteration counts cancel dispatch latency and the anti-DCE fold), and
+persist the winner per (kernel, dtype, M, K, N) to a JSON cache that
+``ops.pallas_mm`` consults at trace time.
+
+Unlike Triton's per-process autotune-on-first-call, the sweep is OFFLINE
+(compiles go through a remote helper in this environment and first-call
+autotune would stall a training step for minutes):
+
+  python -m quantized_training_tpu.ops.autotune --sizes 1024 2048 4096
+  python -m quantized_training_tpu.ops.autotune --train-shapes
+
+writes ``ops/tuned/<device_kind>.json`` (checked in for v5e). Lookup
+order at trace time: exact shape -> same (K, N) with nearest M (the
+batch-dependent dim) -> hardcoded default.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+from pathlib import Path
+
+TUNED_DIR = Path(__file__).parent / "tuned"
+
+_DEFAULTS = {
+    "scaled_mm": (1024, 256, 2048),
+    "tile_scaled_mm": (256, 256, 0),  # bk unused (derived from quant blocks)
+    "matmul": (256, 256, 512),
+}
+
+# VMEM working-set budget per config: a/b blocks double-buffered + fp32/int32
+# accumulator + output block. The hard limit is 16 MiB more scoped headroom.
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _device_key() -> str:
+    import jax
+
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        kind = "unknown"
+    return kind.replace(" ", "_")
+
+
+@functools.lru_cache(maxsize=8)
+def _load_cache(key: str) -> dict:
+    path = TUNED_DIR / f"{key}.json"
+    if path.exists():
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def _entry_key(kernel: str, dtype: str, M: int, K: int, N: int) -> str:
+    return f"{kernel}:{dtype}:{M}x{K}x{N}"
+
+
+def lookup(kernel: str, M: int, K: int, N: int, dtype) -> tuple[int, int, int]:
+    """Best-known (block_m, block_n, block_k) for this shape, or defaults."""
+    import jax.numpy as jnp
+
+    dt = jnp.dtype(dtype).name
+    cache = _load_cache(_device_key())
+    hit = cache.get(_entry_key(kernel, dt, M, K, N))
+    if hit:
+        return tuple(hit["blocks"])
+    # nearest-M fallback within the same (K, N) — M is the tokens dim and
+    # varies with batch; K/N are architecture dims
+    best = None
+    prefix = f"{kernel}:{dt}:"
+    for k, v in cache.items():
+        if not k.startswith(prefix):
+            continue
+        m_, k_, n_ = (int(t) for t in k[len(prefix):].split("x"))
+        if (k_, n_) == (K, N):
+            d = abs(m_ - M)
+            if best is None or d < best[0]:
+                best = (d, tuple(v["blocks"]))
+    if best:
+        return best[1]
+    return _DEFAULTS[kernel]
+
+
+def candidate_configs(M: int, K: int, N: int, elem: int) -> list[tuple[int, int, int]]:
+    """Grid of (bm, bn, bk) fitting the VMEM budget (the triton_mm.py:9-43
+    candidate-list analog, filtered for TPU tiling: multiples of the
+    (32, 128) int8 tile, K blocks >= 512 to amortize the revisit)."""
+    out = []
+    for bm in (256, 512, 1024, 2048):
+        if bm > max(M, 256):
+            continue
+        for bn in (256, 512, 1024, 2048):
+            if bn > max(N, 256):
+                continue
+            for bk in (512, 1024, 2048, 4096):
+                if bk > max(K, 512):
+                    continue
+                working = 2 * (bm * bk + bk * bn) * elem + 4 * bm * bn + 2 * bm * bn
+                if working <= _VMEM_BUDGET:
+                    out.append((bm, bn, bk))
+    return out
+
+
+def _time_config(fn, args, flops: float) -> float:
+    """Differential device-loop TFLOPS (benchmark_mm.py methodology,
+    compacted — the output folds into the next iteration's A operand)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def _sync(x):
+        np.asarray(jax.device_get(x.ravel()[0]))
+
+    d = min(4000, max(32, int(1e13 / flops)))
+    it_lo, it_hi = max(4, d // 4), max(4, d // 4) * 4
+
+    def make(iters):
+        @jax.jit
+        def many(a, *rest):
+            def body(i, a):
+                out = fn(a, *rest)
+                K = a.shape[1]
+                folded = out[:, :K].astype(jnp.float32)
+                if folded.shape[1] < K:
+                    folded = jnp.pad(folded, ((0, 0), (0, K - folded.shape[1])))
+                if a.dtype == jnp.int8:
+                    return (a ^ folded.astype(jnp.int8)) | jnp.int8(1)
+                return a + (folded * 1e-9).astype(a.dtype)
+
+            return jax.lax.fori_loop(0, iters, body, a)
+
+        return many
+
+    f_lo, f_hi = make(it_lo), make(it_hi)
+    _sync(f_lo(*args))
+    _sync(f_hi(*args))
+
+    def t(f):
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _sync(f(*args))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    dt = (t(f_hi) - t(f_lo)) / (it_hi - it_lo)
+    return flops / dt / 1e12
+
+
+def sweep_scaled_mm(M: int, K: int, N: int, dtype="int8", verbose=True):
+    """Time every candidate config; returns (best_blocks, best_tflops,
+    all_results)."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import pallas_mm
+
+    dt = jnp.dtype(dtype)
+    kx, kw = jax.random.split(jax.random.PRNGKey(0))
+    if dt == jnp.int8:
+        a = jax.random.randint(kx, (M, K), -128, 128, jnp.int8)
+        b = jax.random.randint(kw, (K, N), -128, 128, jnp.int8)
+    else:
+        a = jax.random.normal(kx, (M, K), dt)
+        b = jax.random.normal(kw, (K, N), dt)
+    sa = jnp.ones((M, 1), jnp.float32)
+    sb = jnp.ones((1, N), jnp.float32)
+
+    results = []
+    for bm, bn, bk in candidate_configs(M, K, N, dt.itemsize):
+        fn = lambda a_, b_: pallas_mm.scaled_mm(
+            a_, b_, sa, sb, block_m=bm, block_n=bn, block_k=bk
+        )
+        try:
+            tf = _time_config(fn, (a, b), 2.0 * M * K * N)
+        except Exception as e:  # config rejected by Mosaic (VMEM etc.)
+            if verbose:
+                print(f"  {bm}x{bn}x{bk}: FAIL {type(e).__name__}", file=sys.stderr)
+            continue
+        results.append(((bm, bn, bk), tf))
+        if verbose:
+            print(f"  {bm}x{bn}x{bk}: {tf:.1f} TFLOPS", file=sys.stderr)
+    results.sort(key=lambda r: -r[1])
+    return results[0][0], results[0][1], results
+
+
+def save_entry(kernel: str, dtype: str, M: int, K: int, N: int, blocks, tflops):
+    key = _device_key()
+    TUNED_DIR.mkdir(exist_ok=True)
+    path = TUNED_DIR / f"{key}.json"
+    cache = dict(_load_cache(key))
+    cache[_entry_key(kernel, dtype, M, K, N)] = {
+        "blocks": list(blocks),
+        "tflops": round(tflops, 1),
+    }
+    with open(path, "w") as f:
+        json.dump(cache, f, indent=1, sort_keys=True)
+    _load_cache.cache_clear()
+
+
+TRAIN_SHAPES = [
+    # llama2-1b bs8 seq2048 fused-projection training shapes [M, K, N]
+    (16384, 2048, 2560),   # qkv fwd
+    (16384, 2048, 2048),   # o fwd
+    (16384, 2048, 11264),  # gate_up fwd
+    (16384, 5632, 2048),   # down fwd
+    (16384, 2560, 2048),   # qkv grad_input
+    (16384, 11264, 2048),  # gate_up grad_input
+]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--sizes", type=int, nargs="*", default=[])
+    p.add_argument("--train-shapes", action="store_true")
+    p.add_argument("--dtype", default="int8")
+    args = p.parse_args(argv)
+
+    shapes = [(n, n, n) for n in args.sizes]
+    if args.train_shapes:
+        shapes += TRAIN_SHAPES
+    for M, K, N in shapes:
+        print(f"scaled_mm {args.dtype} [{M},{K}]x[{K},{N}]:", file=sys.stderr)
+        blocks, tf, _ = sweep_scaled_mm(M, K, N, args.dtype)
+        save_entry("scaled_mm", args.dtype, M, K, N, blocks, tf)
+        print(f"BEST {M}x{K}x{N}: {blocks} @ {tf:.1f} TFLOPS", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

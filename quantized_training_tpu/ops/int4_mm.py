@@ -9,8 +9,9 @@ kernels/gn_kernels/cutlass_mm.py:25-56):
     fused ``acc.f32 * row_scale[M,1] * col_scale[1,N]`` epilogue -> bf16
 
 TPU has no sub-8-bit MXU datapath, so packed int4 operands are unpacked to
-int8 values (exact) and run on the int8 MXU path; the Pallas backend unpacks
-in-kernel so the HBM traffic stays at 4 bits/element.
+int8 values (exact) and run on the int8 MXU path. The default (XLA) backend
+unpacks in-graph — a separate [.., 2P] int8 materialization before the
+GEMM (2x the packed HBM traffic, exact numerics).
 
 Packing layout: two signed int4 per int8, even element in the HIGH nibble
 (subclasses/mixed_precision.py:121-122). B is taken in transposed-packed

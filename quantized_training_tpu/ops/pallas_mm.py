@@ -89,23 +89,29 @@ def scaled_mm(
     scale_b: Array,
     *,
     out_dtype=jnp.bfloat16,
-    block_m: int = 1024,
-    block_n: int = 256,
-    block_k: int = 2048,
+    block_m: int | None = None,
+    block_n: int | None = None,
+    block_k: int | None = None,
     interpret: bool = False,
 ) -> Array:
     """A[M,K] @ B[K,N] * row_scale[M,1] * col_scale[1,N] -> out_dtype.
 
-    Default blocks are the measured-best int8 config on v5e at training
-    shapes (sweep in this file's history: 1024x256x2048 hits 293 TFLOPS at
-    [16384,2048]x[2048,2048] — parity with XLA's int8 dot+epilogue at 295;
-    the old 256x256x512 default ran at 134).
+    Blocks not passed explicitly resolve through the autotune cache
+    (ops/autotune.py, ``ops/tuned/<device>.json``) with a measured-best
+    v5e fallback of 1024x256x2048 (293 TFLOPS at [16384,2048]x[2048,2048]
+    — parity with XLA's int8 dot+epilogue at 295; the old untuned
+    256x256x512 ran at 134).
 
     Tensor-wide scalar scales (shape () or (1,1)) are broadcast to the
     row/col vectors by the wrapper.
     """
     M, K = a.shape
     N = b.shape[1]
+    if block_m is None or block_n is None or block_k is None:
+        from .autotune import lookup
+
+        tm, tn, tk = lookup("scaled_mm", M, K, N, a.dtype)
+        block_m, block_n, block_k = block_m or tm, block_n or tn, block_k or tk
 
     sa = jnp.broadcast_to(
         jnp.reshape(scale_a.astype(jnp.float32), (-1, 1)), (M, 1)
@@ -164,9 +170,12 @@ def _tile_scaled_mm_kernel(a_ref, b_ref, sa_ref, sb_ref, out_ref, acc_ref, *, qk
     triton_mm.py:313-331, unrolled n_q-wide so the A/B DMAs amortize —
     one-block-per-step was DMA-bound at ~60 TFLOPS on v5e).
 
-    The per-K-block scales arrive as 3D arrays ([KB, M, 1] / [KB, 1, N])
-    whose leading dim is indexed by the K grid position in the BlockSpec —
-    Mosaic cannot dynamically slice non-128-aligned scale columns in-kernel.
+    Scales arrive in their NATURAL layouts — sa [M, KB] (block (bm, n_q)),
+    sb [KB, N] (block (n_q, bn)) — and each quant block takes a STATIC
+    row/column slice. An earlier [KB, M, 1]-layout version put a 1-wide
+    lane dim on the sa block: Mosaic pads lanes to 128, so the scale DMA
+    ballooned to n_q*bm*128 fp32 (6.7 MB/step at 4096^3) and the kernel
+    collapsed from 154 to 87 TFLOPS going 2048^3 -> 4096^3.
     """
     k = pl.program_id(2)
 
@@ -183,7 +192,7 @@ def _tile_scaled_mm_kernel(a_ref, b_ref, sa_ref, sb_ref, out_ref, acc_ref, *, qk
             (((1,), (0,)), ((), ())),
             preferred_element_type=acc_dtype,
         )
-        acc = acc + part.astype(jnp.float32) * sa_ref[j] * sb_ref[j]
+        acc = acc + part.astype(jnp.float32) * sa_ref[:, j : j + 1] * sb_ref[j : j + 1, :]
     acc_ref[:] = acc
 
     @pl.when(k == pl.num_programs(2) - 1)
@@ -222,8 +231,6 @@ def tile_scaled_mm(
 
     sa_full = jnp.repeat(scale_a.astype(jnp.float32), M // n_qm, axis=0)  # [M, KB]
     sb_full = jnp.repeat(scale_b.astype(jnp.float32), N // n_qn, axis=1)  # [KB, N]
-    sa3 = sa_full.T[:, :, None]  # [KB, M, 1]
-    sb3 = sb_full[:, None, :]  # [KB, 1, N]
 
     bm, bn = min(block_m, _round_up(M, 128)), min(block_n, _round_up(N, 128))
     assert qk >= 128, f"K quant block ({qk}) must be >= 128"
@@ -237,10 +244,8 @@ def tile_scaled_mm(
     Mp, Np = _round_up(M, bm), _round_up(N, bn)
     a = _pad2(a, Mp, K)
     b = _pad2(b, K, Np)
-    if Mp != M:
-        sa3 = jnp.pad(sa3, ((0, 0), (0, Mp - M), (0, 0)))
-    if Np != N:
-        sb3 = jnp.pad(sb3, ((0, 0), (0, 0), (0, Np - N)))
+    sa_full = _pad2(sa_full, Mp, n_qk)
+    sb_full = _pad2(sb_full, n_qk, Np)
 
     out = pl.pallas_call(
         functools.partial(_tile_scaled_mm_kernel, qk=qk, n_q=n_q),
@@ -248,8 +253,8 @@ def tile_scaled_mm(
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_q, bm, 1), lambda i, j, k: (k, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_q, 1, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, n_q), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_q, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
@@ -260,7 +265,7 @@ def tile_scaled_mm(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(a, b, sa3, sb3)
+    )(a, b, sa_full, sb_full)
     return out[:M, :N]
 
 

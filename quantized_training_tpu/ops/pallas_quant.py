@@ -260,6 +260,110 @@ def quantize_int8_colwise(
     return q, scale
 
 
+def _both_pass1_kernel(x_ref, seed_ref, qr_ref, sr_ref, camax_ref, *, eps, sr):
+    """Rowwise quantize + accumulate column absmax in ONE read."""
+    i = pl.program_id(0)
+    if sr:
+        pltpu.prng_seed(_block_seed(seed_ref, i))
+    xf = x_ref[:].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    scale = absmax * (1.0 / 127.0)
+    q = _round_op(xf / jnp.clip(scale, min=eps), sr)
+    qr_ref[:] = jnp.clip(q, -128, 127).astype(jnp.int8)
+    sr_ref[:] = scale
+
+    @pl.when(i == 0)
+    def _():
+        camax_ref[:] = jnp.zeros_like(camax_ref)
+
+    camax_ref[:] = jnp.maximum(
+        camax_ref[:], jnp.max(jnp.abs(xf), axis=0, keepdims=True)
+    )
+
+
+def _both_pass2_kernel(x_ref, seed_ref, cs_ref, qc_ref, *, eps, sr):
+    if sr:
+        pltpu.prng_seed(_block_seed(seed_ref, pl.program_id(0), jnp.int32(7)))
+    xf = x_ref[:].astype(jnp.float32)
+    q = _round_op(xf / jnp.clip(cs_ref[:], min=eps), sr)
+    qc_ref[:] = jnp.clip(q, -128, 127).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "sr", "interpret"))
+def quantize_int8_both(
+    x: Array,
+    seed: Array | None = None,
+    *,
+    eps: float = _EPS,
+    sr: bool = False,
+    interpret: bool = False,
+):
+    """BOTH-axis quantize in 2 HBM reads: x [M, K] ->
+    (q_row [M,K], s_row [M,1], q_col [M,K], s_col [1,K]).
+
+    The mixed-precision backward needs the SAME output-grad tensor
+    quantized along axis 1 (for grad_input) and axis 0 (for grad_weight);
+    done separately that costs 3 reads of the bf16 (1 rowwise + 2-pass
+    colwise). Here pass 1 fuses the rowwise quantize with the column-
+    absmax accumulation, so the total is 2 reads + 2 int8 writes.
+    Numerics are identical to the separate kernels (same scales, same
+    round-half-even); SR noise streams are per-block-independent as usual.
+    """
+    M, K = x.shape
+    seed = _as_seed(seed)
+    eb = x.dtype.itemsize
+    bm = _pick_block(M, K, elem_bytes=eb)
+    if bm is None:
+        raise ValueError(f"no row blocks for shape {x.shape}")
+
+    qr, s_row, camax = pl.pallas_call(
+        functools.partial(_both_pass1_kernel, eps=eps, sr=sr),
+        grid=(M // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _seed_spec(),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, K), jnp.int8),
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, K), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(x, seed)
+    s_col = camax * (1.0 / 127.0)
+
+    qc = pl.pallas_call(
+        functools.partial(_both_pass2_kernel, eps=eps, sr=sr),
+        grid=(M // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _seed_spec(),
+            pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, K), jnp.int8),
+        interpret=interpret,
+    )(x, seed, s_col)
+    return qr, s_row, qc, s_col
+
+
+def both_supported(x: Array) -> bool:
+    if x.ndim != 2 or x.dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    M, K = x.shape
+    if M < 32 or K < 128 or K % 128:
+        return False
+    return _pick_block(M, K, elem_bytes=x.dtype.itemsize) is not None
+
+
 def supported(x: Array, axis: int) -> bool:
     """Whether the Pallas kernels can take this (shape, axis)."""
     if x.ndim != 2 or x.dtype not in (jnp.bfloat16, jnp.float32):

@@ -58,13 +58,21 @@ def shard_params_tp(params, mesh: Mesh):
     return jax.tree_util.tree_unflatten(treedef, placed)
 
 
-def kv_cache_spec(mesh: Mesh) -> P:
-    """KVCache arrays are [L, B, S, KV_heads, hd]: shard the head dim."""
-    if mesh.shape["model"] == 1:
+def kv_cache_spec(mesh: Mesh, num_kv_heads: int | None = None) -> P:
+    """KVCache arrays are [L, B, S, KV_heads, hd]: shard the head dim.
+
+    Falls back to replication when the head count doesn't divide the
+    model axis (mirrors tp_param_spec's divisibility guard — better a
+    replicated cache than a sharding error deep inside device_put)."""
+    n = mesh.shape["model"]
+    if n == 1 or (num_kv_heads is not None and num_kv_heads % n != 0):
         return P()
     return P(None, None, None, "model", None)
 
 
 def shard_kv_cache(cache, mesh: Mesh):
-    sharding = NamedSharding(mesh, kv_cache_spec(mesh))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), cache)
+    def put(x):
+        spec = kv_cache_spec(mesh, num_kv_heads=x.shape[3] if x.ndim == 5 else None)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, cache)

@@ -66,7 +66,11 @@ def quantize_int8(
     # that fusion lowers through a slow convolution emitter (measured
     # 31.7 ms vs ~2.5 ms for the bare MXU GEMM on v5e) — and the kernels
     # do absmax+scale in the minimum HBM passes (see ops/pallas_quant.py).
-    if x.ndim == 2 and axis in (0, 1, -1):
+    # (an explicit ops.set_backend('xla') opts the quantize out too, so
+    # XLA-vs-Pallas A/B comparisons measure what they claim)
+    from ..ops import _dispatch
+
+    if x.ndim == 2 and axis in (0, 1, -1) and _dispatch.raw_backend() != "xla":
         try:
             on_tpu = jax.default_backend() == "tpu"
         except Exception:
@@ -113,6 +117,61 @@ def quantize_int8(
 
 def dequantize_int8(int_data: Array, scale: Array) -> Array:
     return int_data.astype(scale.dtype) * scale
+
+
+def quantize_int8_both(
+    x: Array,
+    *,
+    stochastic_rounding: bool = False,
+    key: Array | None = None,
+    eps: float = 1e-12,
+) -> tuple[Array, Array, Array, Array]:
+    """Quantize ``x`` along BOTH axes: -> (q_row, s_row, q_col, s_col).
+
+    The mixed-precision backward consumes the same output-grad tensor
+    rowwise (grad_input) and colwise (grad_weight); the fused TPU kernel
+    (ops/pallas_quant.py::quantize_int8_both) does both in 2 HBM reads
+    instead of 3. Numerics are identical to two separate
+    :func:`quantize_int8` calls (non-SR: bit-identical).
+    """
+    orig_dtype = x.dtype
+    from ..ops import _dispatch
+
+    if x.ndim == 2 and _dispatch.raw_backend() != "xla":
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu:
+            from ..ops import pallas_quant
+
+            if pallas_quant.both_supported(x):
+                seed = None
+                if stochastic_rounding:
+                    if key is None:
+                        raise ValueError(
+                            "stochastic_rounding=True requires a PRNG key"
+                        )
+                    seed = jax.lax.bitcast_convert_type(
+                        jax.random.bits(key, (1,), jnp.uint32), jnp.int32
+                    )
+                qr, s_row, qc, s_col = pallas_quant.quantize_int8_both(
+                    x, seed, eps=eps, sr=stochastic_rounding
+                )
+                return qr, s_row.astype(orig_dtype), qc, s_col.astype(orig_dtype)
+
+    kr = kc = None
+    if stochastic_rounding:
+        if key is None:
+            raise ValueError("stochastic_rounding=True requires a PRNG key")
+        kr, kc = jax.random.split(key)
+    qr, s_row = quantize_int8(
+        x, axis=1, stochastic_rounding=stochastic_rounding, key=kr, eps=eps
+    )
+    qc, s_col = quantize_int8(
+        x, axis=0, stochastic_rounding=stochastic_rounding, key=kc, eps=eps
+    )
+    return qr, s_row, qc, s_col
 
 
 # ---------------------------------------------------------------------------

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..ops.scaled_mm import scaled_mm_general
 from ..ops.int4_mm import scaled_int4_mm
 from .configs import MixedPrecisionConfig
-from .core import quantize_int8, quantize_int4_rowwise_absmax
+from .core import quantize_int8, quantize_int8_both, quantize_int4_rowwise_absmax
 
 Array = jax.Array
 
@@ -119,6 +119,28 @@ def _mp_linear_fwd(config, x2d, w, key):
 def _mp_linear_bwd(config, res, g):
     x2d, w, key = res
     g = g.astype(w.dtype)
+
+    if config.grad_input and config.grad_weight and config.dtype == "int8":
+        # both backward matmuls INT8: g is needed quantized along BOTH
+        # axes (rowwise for grad_input, colwise for grad_weight) — the
+        # fused both-axis kernel reads the bf16 g twice instead of the
+        # 3 passes two separate quantizes would cost
+        sr = config.stochastic_rounding
+        kg = kw = kx = None
+        if sr:
+            kg, kw, kx = jax.random.split(_subkey(key, 1), 3)
+        g_row, g_row_s, g_col, g_col_s = quantize_int8_both(
+            g, stochastic_rounding=sr, key=kg
+        )
+        w_col, w_col_s = quantize_int8(w, axis=0, stochastic_rounding=sr, key=kw)
+        x_col, x_col_s = quantize_int8(x2d, axis=0, stochastic_rounding=sr, key=kx)
+        grad_input = scaled_mm_general(
+            g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=w.dtype
+        )
+        grad_weight = scaled_mm_general(
+            x_col, g_col, x_col_s, g_col_s, dims=(0, 0), out_dtype=w.dtype
+        ).T
+        return grad_input, grad_weight, None
 
     if config.grad_input:
         grad_input = _dynamic_mm(g, w, config, _subkey(key, 1), dims=(1, 0))

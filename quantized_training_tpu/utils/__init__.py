@@ -1,4 +1,10 @@
-from .checkpoint import checkpoint_name, load_checkpoint, save_checkpoint
+from .checkpoint import (
+    checkpoint_name,
+    load_checkpoint,
+    materialize,
+    restore_sharded,
+    save_checkpoint,
+)
 from .train import LRSchedule, clip_by_global_norm, global_norm, print_model_stats
 
 __all__ = [
@@ -9,4 +15,6 @@ __all__ = [
     "save_checkpoint",
     "load_checkpoint",
     "checkpoint_name",
+    "materialize",
+    "restore_sharded",
 ]

@@ -86,3 +86,35 @@ def test_rowwise_two_pass_wide_k():
         np.asarray(s, np.float32).ravel(), np.asarray(s_ref, np.float32).ravel(), rtol=1e-5
     )
     assert np.abs(np.asarray(q, np.int32) - np.asarray(q_ref, np.int32)).max() <= 1
+
+
+@pytest.mark.parametrize("shape", [(64, 128), (256, 384)])
+def test_both_axis_matches_separate_kernels(shape):
+    """quantize_int8_both == (rowwise, colwise) bit-exactly (non-SR)."""
+    x = jax.random.normal(jax.random.PRNGKey(3), shape, jnp.bfloat16) * 2.0
+    assert pallas_quant.both_supported(x)
+    qr, sr_, qc, sc = pallas_quant.quantize_int8_both(x, interpret=True)
+    qr_ref, sr_ref = pallas_quant.quantize_int8_rowwise(x, interpret=True)
+    qc_ref, sc_ref = pallas_quant.quantize_int8_colwise(x, interpret=True)
+    np.testing.assert_array_equal(np.asarray(qr), np.asarray(qr_ref))
+    np.testing.assert_array_equal(np.asarray(qc), np.asarray(qc_ref))
+    np.testing.assert_array_equal(np.asarray(sr_), np.asarray(sr_ref))
+    np.testing.assert_array_equal(np.asarray(sc), np.asarray(sc_ref))
+
+
+def test_both_axis_core_fallback_matches():
+    """CPU fallback path of core.quantize_int8_both == separate calls."""
+    from quantized_training_tpu.quant.core import quantize_int8_both
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (64, 256), jnp.bfloat16)
+    qr, sr_, qc, sc = quantize_int8_both(x)
+    qr_ref, sr_ref = quantize_int8(x, axis=1)
+    qc_ref, sc_ref = quantize_int8(x, axis=0)
+    np.testing.assert_array_equal(np.asarray(qr), np.asarray(qr_ref))
+    np.testing.assert_array_equal(np.asarray(qc), np.asarray(qc_ref))
+    np.testing.assert_array_equal(
+        np.asarray(sr_, np.float32), np.asarray(sr_ref, np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sc, np.float32), np.asarray(sc_ref, np.float32)
+    )
