@@ -42,6 +42,8 @@ def main() -> None:
 
     parser.add_argument("--hellaswag_tokenizer", default="llama3")
     parser.add_argument("--hellaswag_data")
+    parser.add_argument("--task_data", help="local jsonl for arc/piqa/mc tasks")
+    parser.add_argument("--max_rows", type=int)
     parser.add_argument("--generate", type=int, default=0)
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--seed", type=int, default=2024)
@@ -109,6 +111,19 @@ def main() -> None:
                 args.hellaswag_tokenizer,
                 data_path=args.hellaswag_data,
                 batch_size=args.batch_size,
+            )
+        elif task in ("arc", "piqa", "mc"):
+            from mc_eval import evaluate_mc
+
+            assert args.task_data, f"--task_data required for {task}"
+            results[f"{task}_acc"] = evaluate_mc(
+                qparams,
+                cfg,
+                task,
+                args.task_data,
+                tokenizer=args.hellaswag_tokenizer,
+                batch_size=args.batch_size,
+                max_rows=args.max_rows,
             )
         else:
             raise ValueError(f"unknown task {task!r}")

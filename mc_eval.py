@@ -1,0 +1,152 @@
+"""Offline multiple-choice eval tasks (arc / piqa / generic jsonl).
+
+Extends the built-in task set toward the reference's lm-eval harness
+breadth (llm_evaluate.py:51-56) with the harness's standard min-summed-CE
+classification recipe (the same scoring hellaswag.py uses): tokenize
+context+choice, sum the CE of the continuation tokens, predict the
+argmin choice. All tasks run from LOCAL jsonl (zero-egress environment).
+
+Row formats (one JSON object per line):
+  arc:  {"question": str, "choices": {"text": [...], "label": [...]},
+         "answerKey": "B"}            (ARC-Easy/Challenge HF schema)
+  piqa: {"goal": str, "sol1": str, "sol2": str, "label": 0|1}
+  mc:   {"ctx": str, "choices": [str, ...], "gold": int}   (generic)
+
+Like hellaswag.py the token tensor is FIXED-shape (N, n_choices, max_len)
+so the jitted predictor never recompiles; rows with fewer choices than
+the task maximum are padded with invalid choices masked to +inf loss.
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _fmt_arc(row):
+    texts = row["choices"]["text"]
+    labels = [str(l) for l in row["choices"]["label"]]
+    gold = labels.index(str(row["answerKey"]))
+    ctx = f"Question: {row['question']}\nAnswer:"
+    return ctx, [f" {t}" for t in texts], gold
+
+
+def _fmt_piqa(row):
+    ctx = f"Question: {row['goal']}\nAnswer:"
+    return ctx, [f" {row['sol1']}", f" {row['sol2']}"], int(row["label"])
+
+
+def _fmt_mc(row):
+    return row["ctx"], list(row["choices"]), int(row["gold"])
+
+
+FORMATS = {"arc": _fmt_arc, "piqa": _fmt_piqa, "mc": _fmt_mc}
+
+
+def load_rows(data_path: str):
+    with open(data_path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def tokenize_mc(rows, fmt, tokenizer, max_len: int | None = None):
+    """-> tokens [N, C, L] (pad/ctx-only = -100 in the LABEL view),
+    gold [N], choice_valid [N, C].
+
+    Continuation scoring: only the choice's tokens count toward the loss
+    — context tokens are marked -100 like padding (the lm-eval
+    ``loglikelihood`` contract), which hellaswag.py approximates by
+    scoring the full sequence; here we do the exact continuation-only
+    version.
+    """
+    parsed = [fmt(r) for r in rows]
+    n_choices = max(len(ch) for _, ch, _ in parsed)
+
+    seqs = []
+    for ctx, choices, gold in parsed:
+        ctx_toks = tokenizer(ctx)
+        row_seqs = []
+        for ch in choices:
+            full = tokenizer(ctx + ch)
+            # continuation tokens = the suffix beyond the longest common
+            # prefix with ctx_toks (robust to tokenizer merges at the seam)
+            p = 0
+            while p < min(len(ctx_toks), len(full)) and ctx_toks[p] == full[p]:
+                p += 1
+            row_seqs.append((full, max(p, 1)))
+        seqs.append((row_seqs, gold))
+
+    L = max_len or max(
+        len(full) for row_seqs, _ in seqs for full, _ in row_seqs
+    )
+    N = len(seqs)
+    tokens = np.full((N, n_choices, L), 0, dtype=np.int64)
+    score_mask = np.zeros((N, n_choices, L), dtype=bool)
+    gold_arr = np.zeros(N, dtype=np.int64)
+    valid = np.zeros((N, n_choices), dtype=bool)
+    for i, (row_seqs, gold) in enumerate(seqs):
+        gold_arr[i] = gold
+        for j, (full, p) in enumerate(row_seqs):
+            full = full[:L]
+            tokens[i, j, : len(full)] = full
+            score_mask[i, j, min(p, len(full)) : len(full)] = True
+            valid[i, j] = True
+    return tokens, score_mask, gold_arr, valid
+
+
+def make_predict(cfg):
+    from quantized_training_tpu.models import llama
+
+    @jax.jit
+    def predict(params, tokens, score_mask, choice_valid):
+        N, C, L = tokens.shape
+        inputs = tokens[..., :-1].reshape(N * C, L - 1).astype(jnp.int32)
+        logits = llama.forward(params, inputs, cfg).astype(jnp.float32)
+        targets = tokens[..., 1:].reshape(N * C, L - 1)
+        mask = score_mask[..., 1:].reshape(N * C, L - 1)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        loss = jnp.where(mask, nll, 0.0).reshape(N, C, L - 1).sum(-1)
+        loss = jnp.where(choice_valid, loss, jnp.inf)
+        return jnp.argmin(loss, axis=-1)
+
+    return predict
+
+
+def evaluate_mc(
+    params,
+    cfg,
+    task: str,
+    data_path: str,
+    tokenizer: str = "llama3",
+    batch_size: int = 8,
+    max_rows: int | None = None,
+) -> float:
+    from quantized_training_tpu.data import get_tokenizer
+
+    rows = load_rows(data_path)
+    if max_rows is not None:
+        rows = rows[:max_rows]
+    tok = get_tokenizer(tokenizer) if isinstance(tokenizer, str) else tokenizer
+    tokens, score_mask, gold, valid = tokenize_mc(rows, FORMATS[task], tok)
+
+    predict = make_predict(cfg)
+    n_correct = 0
+    n = len(tokens) - len(tokens) % batch_size
+    if n == 0:
+        n = len(tokens)
+    for i in range(0, n, batch_size):
+        sl = slice(i, min(i + batch_size, n))
+        # ragged tail: pad the batch up by repeating the last row
+        t, m, v = tokens[sl], score_mask[sl], valid[sl]
+        pad = batch_size - len(t)
+        if pad:
+            t = np.concatenate([t, np.repeat(t[-1:], pad, 0)])
+            m = np.concatenate([m, np.repeat(m[-1:], pad, 0)])
+            v = np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+        preds = predict(params, jnp.asarray(t), jnp.asarray(m), jnp.asarray(v))
+        preds = np.asarray(preds)[: sl.stop - sl.start]
+        n_correct += int((preds == gold[sl]).sum())
+    return n_correct / max(n, 1)

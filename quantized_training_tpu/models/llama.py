@@ -7,8 +7,9 @@ stacked [L, ...] weights — this is also what makes per-layer FSDP sharding
 and quantized-wrapper stacking free).
 
 Parity details kept from the reference training setup:
-  - RoPE tables/rotation in fp32 while weights are bf16
-    (llm_pretrain.py:115-119 keeps ``rotary_emb.inv_freq`` fp32)
+  - RoPE tables in fp32, rotation in the model dtype
+    (llm_pretrain.py:115-119 keeps ``rotary_emb.inv_freq`` fp32; HF
+    LlamaRotaryEmbedding applies cos/sin in the activation dtype)
   - RMSNorm computes in fp32, scales in the weight dtype (HF LlamaRMSNorm)
   - fp32 softmax in attention; logits cast to fp32 for the loss
     (llm_pretrain.py:30-35)
@@ -165,14 +166,21 @@ def rope_tables(cfg: LlamaConfig, seq_len: int) -> tuple[Array, Array]:
 
 
 def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
-    """x: [B, S, H, hd]; rotate-half convention, fp32 math."""
-    xf = x.astype(jnp.float32)
+    """x: [B, S, H, hd]; rotate-half convention.
+
+    Tables are computed in fp32 (rope_tables) and cast to the activation
+    dtype here; the rotation itself runs in x's dtype — the HF Llama
+    convention (`(q * cos) + (rotate_half(q) * sin)` in model dtype with
+    fp32-derived cos/sin). An all-fp32 rotation variant measured ~40 ms/
+    step extra at llama2-1b bs8: the fp32 upcast forced fp32 layout
+    copies through the attention head transposes.
+    """
     half = x.shape[-1] // 2
-    x1, x2 = xf[..., :half], xf[..., half:]
+    x1, x2 = x[..., :half], x[..., half:]
     rotated = jnp.concatenate([-x2, x1], axis=-1)
-    c = cos[None, :, None, :]
-    s = sin[None, :, None, :]
-    return (xf * c + rotated * s).astype(x.dtype)
+    c = cos[None, :, None, :].astype(x.dtype)
+    s = sin[None, :, None, :].astype(x.dtype)
+    return x * c + rotated * s
 
 
 def _resolve_attn_impl(impl: str, seq: int) -> str:
@@ -210,13 +218,15 @@ def _splash_kernel(groups: int, seq: int):
             b //= 2
         return b
 
-    # 1024-everywhere measured best at S2048 hd64 on v5e:
-    # fwd 4.96 ms, fwd+bwd 14.54 ms per layer (vs 5.2/15.7 at 512/1024)
+    # 1024-everywhere measured best at S2048 hd64 on v5e; the FUSED
+    # backward kernel (dq+dkv in one pass over K/V) measured ~3.3 ms/layer
+    # faster than separate dq/dkv kernels at B8 H32 KV4 S2048
+    # (/tmp attn sweep: 38.4 vs 41.7 ms/call incl. dispatch)
     bq = bkv = blk(1024)
     bs = sak.BlockSizes(
         block_q=bq, block_kv=bkv, block_kv_compute=bkv,
         block_q_dkv=bq, block_kv_dkv=bkv, block_kv_dkv_compute=bkv,
-        block_q_dq=bq, block_kv_dq=bkv,
+        use_fused_bwd_kernel=True,
     )
     mask = sam.MultiHeadMask([sam.CausalMask((seq, seq)) for _ in range(groups)])
     # residual_checkpoint_name tags the kernel's (out, logsumexp) residuals
@@ -245,10 +255,9 @@ def attention(q: Array, k: Array, v: Array, impl: str = "auto") -> Array:
 
     if impl == "splash":
         kern = _splash_kernel(H // KV, S)
-        # splash has no sm_scale arg; scale q in fp32 before the bf16 cast
-        # (one rounding — matches the flash path's fp32 score scaling up to
-        # q's own bf16 storage precision)
-        qs = (q.astype(jnp.float32) * (hd**-0.5)).astype(q.dtype)
+        # splash has no sm_scale arg; pre-scale q (for hd a power of 4 the
+        # scale is a power of two — exact in bf16; otherwise one rounding)
+        qs = q * jnp.asarray(hd**-0.5, q.dtype)
         qg = qs.transpose(0, 2, 1, 3).reshape(B, KV, H // KV, S, hd)
         kg = k.transpose(0, 2, 1, 3)  # [B, KV, S, hd]
         vg = v.transpose(0, 2, 1, 3)

@@ -1,0 +1,299 @@
+"""Continuous batching for decode serving (slot-based KV cache).
+
+The reference has no serving layer (BASELINE.json lists batched inference
++ continuous batching as a north-star beyond the published numbers); this
+is the TPU-native design:
+
+  - A fixed pool of ``n_slots`` cache slots, each with its own absolute
+    position — requests of different lengths decode TOGETHER in one
+    jitted step (no head-of-line blocking on the longest request).
+  - Admission is per-slot prefill: a length-bucketed jit writes the
+    prompt's K/V into the slot rows, so joining a running batch never
+    recompiles the decode step.
+  - All device code is functional (ServeState pytree in, pytree out) and
+    fixed-shape: one compile for decode, one per prefill bucket.
+  - INT8 KV quantization is inherited from llama_infer (same
+    ``_quant_kv``), so memory per slot matches the batched decoder.
+
+The :class:`Server` wrapper owns slot allocation / eviction / finished
+detection host-side; everything device-side lives in the jitted
+``_prefill_into_slot`` and ``_decode_step``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import llama, llama_infer
+from .llama_infer import KVCache, _quant_kv
+from ..quant import qlinear
+
+Array = jax.Array
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["cache", "pos", "active", "last_token"],
+    meta_fields=[],
+)
+@dataclass
+class ServeState:
+    """Device-side serving state (pytree).
+
+    cache: KVCache over the slot dim ([L, n_slots, max_len, KV, hd])
+    pos: [n_slots] int32 — next write position (= tokens held) per slot
+    active: [n_slots] bool — slot currently serving a request
+    last_token: [n_slots] int32 — last sampled token (decode input)
+    """
+
+    cache: KVCache
+    pos: Array
+    active: Array
+    last_token: Array
+
+    @classmethod
+    def zeros(cls, cfg: llama.LlamaConfig, n_slots: int, max_len: int):
+        return cls(
+            KVCache.zeros(cfg, n_slots, max_len),
+            jnp.zeros((n_slots,), jnp.int32),
+            jnp.zeros((n_slots,), bool),
+            jnp.zeros((n_slots,), jnp.int32),
+        )
+
+
+def make_prefill(cfg: llama.LlamaConfig):
+    """Jitted (params, state, slot, prompt [1, Tpad], n_valid) -> state.
+
+    Runs the standard prefill forward on the padded prompt, then writes
+    the produced K/V rows into the slot and arms it for decode. One
+    compile per Tpad bucket.
+    """
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def prefill(params, state: ServeState, slot, prompt, n_valid):
+        Tpad = prompt.shape[1]
+        tmp = KVCache.zeros(cfg, 1, Tpad)
+        logits, tmp = llama_infer.forward_with_cache(
+            params, prompt, tmp, 0, cfg
+        )
+        # scatter the prompt K/V into the slot (per layer: [1, Tpad,...])
+        def write(full, new):
+            return jax.lax.dynamic_update_slice(
+                full, new, (0, slot, 0, 0, 0)
+            )
+
+        cache = KVCache(
+            write(state.cache.k, tmp.k),
+            write(state.cache.k_scale, tmp.k_scale),
+            write(state.cache.v, tmp.v),
+            write(state.cache.v_scale, tmp.v_scale),
+        )
+        # first generated token comes from the last VALID prompt position
+        last = jnp.take_along_axis(
+            logits[0].astype(jnp.float32), (n_valid - 1)[None, None], axis=0
+        )[0]
+        tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
+        return ServeState(
+            cache,
+            state.pos.at[slot].set(n_valid),
+            state.active.at[slot].set(True),
+            state.last_token.at[slot].set(tok),
+        )
+
+    return prefill
+
+
+def make_decode_step(cfg: llama.LlamaConfig):
+    """Jitted (params, state) -> (state, tokens [n_slots]).
+
+    One decode token for EVERY slot in one batched forward; inactive
+    slots compute masked garbage and are left untouched (their pos and
+    last_token don't advance).
+    """
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def step(params, state: ServeState):
+        n_slots = state.pos.shape[0]
+        S = state.cache.max_len
+        H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+        B = n_slots
+
+        x = params["embed"]["embedding"][state.last_token][:, None]  # [B,1,D]
+        cos_f, sin_f = llama.rope_tables(cfg, S)
+        # per-slot rope at each slot's own position
+        cos = cos_f[state.pos][:, None]  # [B, 1, hd]
+        sin = sin_f[state.pos][:, None]
+
+        def rope1(t):  # t: [B, 1, heads, hd]
+            half = hd // 2
+            t1, t2 = t[..., :half], t[..., half:]
+            rot = jnp.concatenate([-t2, t1], axis=-1)
+            c = cos[:, :, None, :].astype(t.dtype)
+            s = sin[:, :, None, :].astype(t.dtype)
+            return t * c + rot * s
+
+        def layer_fn(x, inputs):
+            lp, kc, ksc, vc, vsc = inputs
+            h = llama.rms_norm(x, lp["attn_norm"]["g"], cfg.rms_norm_eps)
+            q = rope1(qlinear(h, lp["q"]["w"]).reshape(B, 1, H, hd))
+            k = rope1(qlinear(h, lp["k"]["w"]).reshape(B, 1, KV, hd))
+            v = qlinear(h, lp["v"]["w"]).reshape(B, 1, KV, hd)
+
+            k_q, k_s = _quant_kv(k)
+            v_q, v_s = _quant_kv(v)
+            # per-slot scatter at each slot's own position (vectorized
+            # one-row update along the sequence axis)
+            rows = jnp.arange(B)
+            kc = kc.at[rows, state.pos].set(k_q[:, 0])
+            ksc = ksc.at[rows, state.pos].set(k_s[:, 0].astype(ksc.dtype))
+            vc = vc.at[rows, state.pos].set(v_q[:, 0])
+            vsc = vsc.at[rows, state.pos].set(v_s[:, 0].astype(vsc.dtype))
+
+            k_deq = kc.astype(ksc.dtype) * ksc  # [B, S, KV, hd]
+            v_deq = vc.astype(vsc.dtype) * vsc
+            G = H // KV
+            qg = q.reshape(B, 1, KV, G, hd)
+            scores = jnp.einsum(
+                "btkgd,bskd->bkgts", qg, k_deq,
+                preferred_element_type=jnp.float32,
+            ) * (hd ** -0.5)
+            # slot b may attend cache positions <= its own pos
+            s_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 1, S), 2)
+            mask = s_ids <= state.pos[:, None, None]
+            scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
+            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            ctx = jnp.einsum("bkgts,bskd->btkgd", probs, v_deq)
+            ctx = ctx.reshape(B, 1, H * hd)
+
+            if cfg.bitnet:
+                ctx = llama.rms_norm(ctx, lp["o_norm"]["g"], cfg.rms_norm_eps)
+            x = x + qlinear(ctx, lp["o"]["w"])
+            h = llama.rms_norm(x, lp["mlp_norm"]["g"], cfg.rms_norm_eps)
+            act = jax.nn.silu(qlinear(h, lp["gate"]["w"])) * qlinear(h, lp["up"]["w"])
+            if cfg.bitnet:
+                act = llama.rms_norm(act, lp["down_norm"]["g"], cfg.rms_norm_eps)
+            x = x + qlinear(act, lp["down"]["w"])
+            return x, (kc, ksc, vc, vsc)
+
+        c = state.cache
+        x, new_slices = jax.lax.scan(
+            layer_fn, x, (params["layers"], c.k, c.k_scale, c.v, c.v_scale)
+        )
+        cache = KVCache(*new_slices)
+
+        x = llama.rms_norm(x, params["final_norm"]["g"], cfg.rms_norm_eps)
+        lm_w = (
+            params["embed"]["embedding"]
+            if cfg.tie_word_embeddings
+            else params["lm_head"]["w"]
+        )
+        logits = qlinear(x, lm_w)[:, 0].astype(jnp.float32)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        tok = jnp.where(state.active, tok, state.last_token)
+        return (
+            ServeState(
+                cache,
+                jnp.where(state.active, state.pos + 1, state.pos),
+                state.active,
+                tok,
+            ),
+            tok,
+        )
+
+    return step
+
+
+class Server:
+    """Host-side continuous-batching wrapper.
+
+    Usage:
+        srv = Server(params, cfg, n_slots=8, max_len=512)
+        rid = srv.add_request([tok, tok, ...], max_new_tokens=64)
+        while srv.pending():
+            for rid, token in srv.step():   # one decode for all active
+                ...
+        srv.result(rid)  # full generated token list
+    """
+
+    BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+
+    def __init__(self, params, cfg: llama.LlamaConfig, n_slots: int, max_len: int,
+                 eos_token: int | None = None):
+        self.params = params
+        self.cfg = cfg
+        self.n_slots = n_slots
+        self.max_len = max_len
+        self.eos = eos_token
+        self.state = ServeState.zeros(cfg, n_slots, max_len)
+        self._prefill = make_prefill(cfg)
+        self._decode = make_decode_step(cfg)
+        self._free = list(range(n_slots))
+        self._slot_req: dict[int, int] = {}
+        self._results: dict[int, list[int]] = {}
+        self._budget: dict[int, int] = {}
+        self._next_rid = 0
+
+    def pending(self) -> bool:
+        return bool(self._slot_req)
+
+    def add_request(self, prompt_tokens, max_new_tokens: int) -> int:
+        if not self._free:
+            raise RuntimeError("no free slots — call step() until one frees")
+        slot = self._free.pop()
+        rid = self._next_rid
+        self._next_rid += 1
+        n = len(prompt_tokens)
+        bucket = next(b for b in self.BUCKETS if b >= n)
+        prompt = np.zeros((1, bucket), np.int32)
+        prompt[0, :n] = prompt_tokens
+        self.state = self._prefill(
+            self.params, self.state, slot, jnp.asarray(prompt),
+            jnp.asarray(n, jnp.int32),
+        )
+        first = int(self.state.last_token[slot])
+        self._slot_req[slot] = rid
+        self._results[rid] = [first]
+        self._budget[rid] = max_new_tokens - 1
+        if max_new_tokens <= 1 or first == self.eos:
+            self._finish(slot)
+        return rid
+
+    def step(self):
+        """One decode step for all active slots; returns [(rid, token)]."""
+        if not self._slot_req:
+            return []
+        self.state, toks = self._decode(self.params, self.state)
+        toks = np.asarray(toks)
+        emitted = []
+        for slot, rid in list(self._slot_req.items()):
+            t = int(toks[slot])
+            self._results[rid].append(t)
+            self._budget[rid] -= 1
+            emitted.append((rid, t))
+            if (
+                self._budget[rid] <= 0
+                or t == self.eos
+                or int(self.state.pos[slot]) >= self.max_len - 1
+            ):
+                self._finish(slot)
+        return emitted
+
+    def result(self, rid: int) -> list[int]:
+        return self._results[rid]
+
+    def _finish(self, slot: int):
+        rid = self._slot_req.pop(slot)
+        del self._budget[rid]
+        self.state = ServeState(
+            self.state.cache,
+            self.state.pos,
+            self.state.active.at[slot].set(False),
+            self.state.last_token,
+        )
+        self._free.append(slot)

@@ -52,6 +52,8 @@ class ViTConfig:
 VIT_TINY = ViTConfig(hidden_size=192, num_layers=12, num_heads=3)
 VIT_SMALL = ViTConfig(hidden_size=384, num_layers=12, num_heads=6)
 VIT_BASE = ViTConfig(hidden_size=768, num_layers=12, num_heads=12)
+VIT_LARGE = ViTConfig(hidden_size=1024, num_layers=24, num_heads=16)
+VIT_HUGE = ViTConfig(hidden_size=1280, num_layers=32, num_heads=16)
 
 
 def init_params(key: Array, cfg: ViTConfig, dtype=jnp.bfloat16):

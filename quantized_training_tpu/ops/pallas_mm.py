@@ -338,3 +338,113 @@ def matmul(
         interpret=interpret,
     )(a, b)
     return out[:M, :N]
+
+
+# ---------------------------------------------------------------------------
+# scaled_int4_mm: in-kernel INT4 unpack (packed operands stay 4-bit in HBM)
+# ---------------------------------------------------------------------------
+
+
+def _unpack_hi_lo(packed):
+    """int8 [r, c] of nibble pairs -> (hi [r, c], lo [r, c]) sign-extended.
+
+    hi holds the EVEN logical elements (high nibble), lo the odd ones
+    (quant/core.py pack layout). Arithmetic shifts sign-extend."""
+    hi = packed >> 4
+    lo = (packed << 4).astype(jnp.int8) >> 4
+    return hi, lo
+
+
+def _scaled_int4_mm_kernel(a_ref, b_ref, sa_ref, sb_ref, out_ref, acc_ref):
+    """A_packed [bm, bk//2] x B_t_packed [bn, bk//2] with the unpack done
+    in VMEM. The nibble interleave never materializes: the contraction
+    splits into even/odd logical positions, so
+
+        acc += A_hi @ B_hi.T + A_lo @ B_lo.T
+
+    — two MXU dots per block on the sign-extended int8 halves. This is the
+    TPU equivalent of the reference's CUTLASS s4 GEMM keeping operands
+    4-bit through global memory (cutlass_sm80_int4.cu:32-65): HBM traffic
+    stays at 4 bits/element, vs the in-graph-unpack XLA fallback that
+    materializes int8 copies first (2x packed bytes + an extra pass).
+    """
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    a_hi, a_lo = _unpack_hi_lo(a_ref[:])
+    b_hi, b_lo = _unpack_hi_lo(b_ref[:])
+    dims = (((1,), (1,)), ((), ()))  # contract packed axis of both
+    acc_ref[:] += jax.lax.dot_general(
+        a_hi, b_hi, dims, preferred_element_type=jnp.int32
+    ) + jax.lax.dot_general(a_lo, b_lo, dims, preferred_element_type=jnp.int32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        acc = acc_ref[:].astype(jnp.float32)
+        out_ref[:] = (acc * sa_ref[:] * sb_ref[:]).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "block_m", "block_n", "block_k", "interpret"),
+)
+def scaled_int4_mm(
+    a_packed: Array,
+    b_t_packed: Array,
+    row_scale: Array,
+    col_scale: Array,
+    *,
+    out_dtype=jnp.bfloat16,
+    block_m: int = 512,
+    block_n: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> Array:
+    """A_packed [M, K//2] @ unpack(B_t_packed [N, K//2]).T with fused
+    row x col fp32 scale epilogue; operands cross HBM packed (4 bits/elem).
+
+    ``block_k`` counts PACKED columns (logical K block = 2 * block_k).
+    """
+    M, Kp = a_packed.shape
+    N = b_t_packed.shape[0]
+    assert b_t_packed.shape[1] == Kp
+
+    sa = jnp.broadcast_to(
+        jnp.reshape(row_scale.astype(jnp.float32), (-1, 1)), (M, 1)
+    )
+    sb = jnp.broadcast_to(
+        jnp.reshape(col_scale.astype(jnp.float32), (1, -1)), (1, N)
+    )
+
+    bm = min(block_m, _round_up(M, 128))
+    bn = min(block_n, _round_up(N, 128))
+    bk = min(block_k, _round_up(Kp, 128))
+    Mp, Np, Kpp = _round_up(M, bm), _round_up(N, bn), _round_up(Kp, bk)
+    a_packed = _pad2(a_packed, Mp, Kpp)
+    b_t_packed = _pad2(b_t_packed, Np, Kpp)
+    sa = _pad2(sa, Mp, 1)
+    sb = _pad2(sb, 1, Np)
+
+    out = pl.pallas_call(
+        _scaled_int4_mm_kernel,
+        grid=(Mp // bm, Np // bn, Kpp // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bk), lambda i, j, k: (j, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(a_packed, b_t_packed, sa, sb)
+    return out[:M, :N]

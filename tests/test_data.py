@@ -64,3 +64,25 @@ class TestPipelineState:
         got = next(iter(dl2))
         np.testing.assert_array_equal(want[0], got[0])
         np.testing.assert_array_equal(want[1], got[1])
+
+
+def test_batchloader_prefetch_resume_exact():
+    """state_dict() under prefetching reflects the last YIELDED batch,
+    not the batches sitting in the queue — resume is gap/replay-free."""
+
+    def make(prefetch):
+        ds = get_dataset("markov", seq_len=16, vocab_size=128, n_states=16, seed=1)
+        return BatchLoader(ds, batch_size=2, prefetch=prefetch)
+
+    sync_batches = [b for _, b in zip(range(6), iter(make(0)))]
+
+    pre = make(2)
+    it = iter(pre)
+    for _ in range(3):
+        next(it)
+    state = pre.state_dict()
+
+    pre2 = make(2)
+    pre2.load_state_dict(state)
+    nxt = next(iter(pre2))
+    np.testing.assert_array_equal(nxt[0], sync_batches[3][0])

@@ -80,3 +80,43 @@ class TestPallasMatmul:
         # here just check dispatch plumbing via explicit interpret call
         out = pallas_mm.scaled_mm(a, b, sa, sb, out_dtype=jnp.float32, block_k=128, **KW)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4)
+
+
+class TestPallasInt4MM:
+    def test_in_kernel_unpack_exact(self):
+        """Pallas scaled_int4_mm (in-kernel unpack, even/odd split
+        contraction) == the unpack-in-graph XLA path, exactly."""
+        from quantized_training_tpu.ops import int4_mm as _  # noqa
+        from quantized_training_tpu.ops.int4_mm import scaled_int4_mm as ref_fn
+        from quantized_training_tpu.quant.core import quantize_int4_rowwise_absmax
+
+        kx, kw = jax.random.split(jax.random.PRNGKey(7))
+        x = jax.random.normal(kx, (64, 256), jnp.float32)
+        w = jax.random.normal(kw, (128, 256), jnp.float32) * 0.5
+        a_packed, rs = quantize_int4_rowwise_absmax(x)
+        b_packed, cs = quantize_int4_rowwise_absmax(w)
+
+        ref = ref_fn(a_packed, b_packed, rs, cs, out_dtype=jnp.float32)
+        out = pallas_mm.scaled_int4_mm(
+            a_packed, b_packed, rs, cs, out_dtype=jnp.float32,
+            block_m=64, block_n=128, block_k=128, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+    def test_int4_backend_dispatch(self):
+        from quantized_training_tpu import ops
+        from quantized_training_tpu.ops import int4_mm as _  # noqa
+        from quantized_training_tpu.ops.int4_mm import scaled_int4_mm as ref_fn
+        from quantized_training_tpu.quant.core import quantize_int4_rowwise_absmax
+
+        kx, kw = jax.random.split(jax.random.PRNGKey(8))
+        a_packed, rs = quantize_int4_rowwise_absmax(
+            jax.random.normal(kx, (32, 128), jnp.float32))
+        b_packed, cs = quantize_int4_rowwise_absmax(
+            jax.random.normal(kw, (128, 128), jnp.float32))
+        ref = ref_fn(a_packed, b_packed, rs, cs, out_dtype=jnp.float32)
+        with ops.use_backend("pallas"):
+            out = ref_fn(a_packed, b_packed, rs, cs, out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)

@@ -274,3 +274,65 @@ class TestShardedCheckpoint:
         save_checkpoint(tmp_path / "c.pkl", {"x": x}, shard_arrays=True)
         out = materialize(load_checkpoint(tmp_path / "c.pkl"))["x"]
         np.testing.assert_array_equal(out, np.asarray(x))
+
+
+class TestTPQuantizedServing:
+    """Tensor-parallel generation with QUANTIZED weights (VERDICT item 5):
+    the wrapper pytrees shard leaf-wise through shard_params_tp, and
+    TP-generate matches the single-device quantized output."""
+
+    CFG = llama.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=48,
+    )
+
+    def _prefill_logits(self, p, t):
+        from quantized_training_tpu.models import llama_infer
+
+        cache = llama_infer.KVCache.zeros(self.CFG, t.shape[0], 32)
+        logits, _ = llama_infer.forward_with_cache(p, t, cache, 0, self.CFG)
+        return logits.astype(jnp.float32)
+
+    @pytest.mark.parametrize("scheme", ["int8_quantized_training", "bitnet"])
+    def test_tp_generate_quantized_weights(self, scheme):
+        from quantized_training_tpu.models import llama_infer
+        from quantized_training_tpu.parallel import make_mesh, shard_params_tp
+
+        params = llama.init_params(jax.random.PRNGKey(0), self.CFG)
+        qparams = quant.quantize_params(params, scheme)
+        if scheme == "bitnet":
+            # serving packs ternary weights 2-bit (the deploy format)
+            qparams = jax.tree.map(
+                lambda x: quant.BitNetPackedWeight.from_weight(x.data)
+                if isinstance(x, quant.BitNetWeight) else x,
+                qparams, is_leaf=quant.is_quant_weight,
+            )
+        prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 256, jnp.int32)
+
+        ref_logits = jax.jit(self._prefill_logits)(qparams, prompt)
+        ref_toks = jax.jit(
+            lambda p, t: llama_infer.generate(p, t, self.CFG, 8)
+        )(qparams, prompt)
+
+        mesh = make_mesh({"model": 4})
+        qp_tp = shard_params_tp(qparams, mesh)
+        # quantized leaves really are model-axis sharded
+        flat, _ = jax.tree_util.tree_flatten_with_path(qp_tp)
+        sharded = [
+            l for p, l in flat
+            if hasattr(l, "sharding") and "model" in str(l.sharding.spec)
+        ]
+        assert sharded, "no TP-sharded quantized leaves"
+
+        out_logits = jax.jit(self._prefill_logits)(qp_tp, prompt)
+        np.testing.assert_allclose(
+            np.asarray(out_logits), np.asarray(ref_logits), rtol=0.05, atol=0.05
+        )
+        toks = jax.jit(
+            lambda p, t: llama_infer.generate(p, t, self.CFG, 8, mesh=mesh)
+        )(qp_tp, prompt)
+        assert toks.shape == ref_toks.shape
+        # greedy decode should agree except at rare argmax ties
+        agree = (np.asarray(toks) == np.asarray(ref_toks)).mean()
+        assert agree > 0.9, f"TP/single-device token agreement only {agree:.2%}"

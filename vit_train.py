@@ -47,12 +47,18 @@ class CosineSchedule:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="vit_tiny",
-                        help="vit_tiny | vit_small | vit_base")
+                        help="vit_tiny | vit_small | vit_base | vit_large | vit_huge")
     parser.add_argument("--model_kwargs", type=json.loads, default=dict())
     parser.add_argument("--num_classes", type=int, default=45)  # RESISC45
 
     parser.add_argument("--quantize")
     parser.add_argument("--quantize_kwargs", type=json.loads, default=dict())
+    parser.add_argument(
+        "--quantize_min_k", type=int, default=0,
+        help="selective quantization: only quantize linears whose "
+        "contraction dim (in_features) is >= this (SwitchBack-style "
+        "'only the large matmuls' — ViT-Base's K=768 projections sit "
+        "below the dynamic-int8 crossover on v5e, its K=3072 fc2 above)")
 
     parser.add_argument("--train_ds", type=json.loads, required=True)
     parser.add_argument("--val_ds", type=json.loads)
@@ -88,7 +94,9 @@ def main() -> None:
     from quantized_training_tpu.utils import print_model_stats
     from quantized_training_tpu.utils.logging import MetricLogger
 
-    named = {"vit_tiny": vit.VIT_TINY, "vit_small": vit.VIT_SMALL, "vit_base": vit.VIT_BASE}
+    named = {"vit_tiny": vit.VIT_TINY, "vit_small": vit.VIT_SMALL,
+             "vit_base": vit.VIT_BASE, "vit_large": vit.VIT_LARGE,
+             "vit_huge": vit.VIT_HUGE}
     overrides = dict(
         num_classes=args.num_classes,
         image_size=args.image_size,
@@ -98,7 +106,19 @@ def main() -> None:
     cfg = dataclasses.replace(named[args.model], **overrides)
     key = jax.random.PRNGKey(args.seed)
     params = vit.init_params(jax.random.fold_in(key, 0), cfg)
-    qparams = quant.quantize_params(params, args.quantize, **args.quantize_kwargs)
+    filter_fn = None
+    if args.quantize_min_k:
+        from quantized_training_tpu.quant.api import _default_filter
+
+        def filter_fn(path, leaf):
+            return (
+                _default_filter(path, leaf)
+                and leaf.shape[-1] >= args.quantize_min_k
+            )
+
+    qparams = quant.quantize_params(
+        params, args.quantize, filter_fn=filter_fn, **args.quantize_kwargs
+    )
     print_model_stats(params)
 
     optimizer = optim.get_optimizer(
