@@ -159,15 +159,18 @@ def main() -> None:
         dloader = BatchLoader(ds, batch_size=micro_bs)
 
     # ----- state + sharding -----
-    state = init_train_state(qparams, optimizer)
     mesh = make_mesh(args.mesh) if args.mesh else None
+    if mesh is not None and args.quantize == "bitnet" and mesh.shape["fsdp"] > 1:
+        # route bitnet linears through the 2-bit quantized all-gather.
+        # The mesh rides the weight wrappers as static metadata, so it
+        # must be threaded BEFORE init_train_state (the optimizer state
+        # mirrors the wrapper pytrees, metadata included).
+        from quantized_training_tpu.parallel import bitnet_fsdp_params
+
+        qparams = bitnet_fsdp_params(qparams, mesh)
+    state = init_train_state(qparams, optimizer)
     if mesh is not None:
         state = shard_state(state, mesh)
-        if args.quantize == "bitnet" and mesh.shape["fsdp"] > 1:
-            # route bitnet linears through the 2-bit quantized all-gather
-            from quantized_training_tpu.parallel import enable_bitnet_fsdp
-
-            enable_bitnet_fsdp(mesh)
     step_fn = make_train_step(cfg, optimizer, clip_grad_norm=args.clip_grad_norm)
 
     save_dir = Path(args.save_dir) / (

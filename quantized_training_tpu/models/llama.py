@@ -41,6 +41,8 @@ Array = jax.Array
 # `forward`'s remat policy saves these so bwd skips the attention-fwd
 # recompute (see _splash_kernel)
 ATTN_RESIDUAL_NAME = "attn_residuals"
+# tag on post-rope q/k/v (see _qkv_part / LlamaConfig.save_qkv_residuals)
+QKV_RESIDUAL_NAME = "qkv_residuals"
 
 
 @dataclass(frozen=True)
@@ -59,6 +61,13 @@ class LlamaConfig:
     remat: bool = False  # activation checkpointing per decoder layer
     # 'auto' = Pallas flash attention on TPU, fp32-softmax einsum elsewhere
     attention_impl: str = "auto"  # 'auto' | 'flash' | 'xla'
+    # remat policy extra: also save post-rope q/k/v across the layer
+    # checkpoint. MEASURED SLOWER at llama2-1b bs8 on v5e (14.7k vs 15.4k
+    # tok/s int8 — the extra 84 MB/layer of live buffers costs more in
+    # scheduling/memory pressure than the skipped qkv recompute saves,
+    # and the bf16 config stopped compiling through this environment's
+    # remote helper); kept as an opt-in knob for small models.
+    save_qkv_residuals: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -306,13 +315,23 @@ def attention(q: Array, k: Array, v: Array, impl: str = "auto") -> Array:
 
 def _qkv_part(cfg: LlamaConfig, x, lp, cos, sin, key):
     """Norm + QKV projections + RoPE (remattable)."""
+    from jax.ad_checkpoint import checkpoint_name
+
     B, S, _ = x.shape
     H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     h = rms_norm(x, lp["attn_norm"]["g"], cfg.rms_norm_eps)
     q = qlinear(h, lp["q"]["w"], key=jax.random.fold_in(key, 0)).reshape(B, S, H, hd)
     k = qlinear(h, lp["k"]["w"], key=jax.random.fold_in(key, 1)).reshape(B, S, KV, hd)
     v = qlinear(h, lp["v"]["w"], key=jax.random.fold_in(key, 2)).reshape(B, S, KV, hd)
-    return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
+    q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
+    if cfg.save_qkv_residuals:
+        # saved by the remat policy: the attention backward consumes
+        # q/k/v directly, so with these kept the whole qkv+rope chain
+        # drops out of the backward recompute
+        q = checkpoint_name(q, QKV_RESIDUAL_NAME)
+        k = checkpoint_name(k, QKV_RESIDUAL_NAME)
+        v = checkpoint_name(v, QKV_RESIDUAL_NAME)
+    return q, k, v
 
 
 def _post_attn_part(cfg: LlamaConfig, x, ctx, lp, key):
@@ -373,11 +392,12 @@ def backbone(params, tokens: Array, cfg: LlamaConfig, key: Array | None = None):
         # everything else (norms, quantizes, projections) still remats.
         # On non-splash paths no value carries the name, so this degrades
         # to plain full remat.
+        names = [ATTN_RESIDUAL_NAME]
+        if cfg.save_qkv_residuals:
+            names.append(QKV_RESIDUAL_NAME)
         layer_body = jax.checkpoint(
             layer_body,
-            policy=jax.checkpoint_policies.save_only_these_names(
-                ATTN_RESIDUAL_NAME
-            ),
+            policy=jax.checkpoint_policies.save_only_these_names(*names),
         )
 
     def scan_fn(x, inputs):

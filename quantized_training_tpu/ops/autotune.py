@@ -96,14 +96,14 @@ def candidate_configs(M: int, K: int, N: int, elem: int) -> list[tuple[int, int,
     candidate-list analog, filtered for TPU tiling: multiples of the
     (32, 128) int8 tile, K blocks >= 512 to amortize the revisit)."""
     out = []
-    for bm in (256, 512, 1024, 2048):
-        if bm > max(M, 256):
+    for bm in (512, 1024, 2048):
+        if bm > max(M, 512):
             continue
-        for bn in (256, 512, 1024, 2048):
+        for bn in (256, 512, 1024):
             if bn > max(N, 256):
                 continue
-            for bk in (512, 1024, 2048, 4096):
-                if bk > max(K, 512):
+            for bk in (1024, 2048):
+                if bk > max(K, 1024):
                     continue
                 working = 2 * (bm * bk + bk * bn) * elem + 4 * bm * bn + 2 * bm * bn
                 if working <= _VMEM_BUDGET:
@@ -121,8 +121,11 @@ def _time_config(fn, args, flops: float) -> float:
     def _sync(x):
         np.asarray(jax.device_get(x.ravel()[0]))
 
-    d = min(4000, max(32, int(1e13 / flops)))
-    it_lo, it_hi = max(4, d // 4), max(4, d // 4) * 4
+    # size the differential to >= ~0.5 s of MXU work: the remote-dispatch
+    # latency in this environment has tens-of-ms jitter, so a too-short
+    # loop reads pure noise (an early version reported >chip-peak rates)
+    d = min(20000, max(64, int(2e14 / flops)))
+    it_lo, it_hi = max(8, d // 4), max(8, d // 4) * 4
 
     def make(iters):
         @jax.jit

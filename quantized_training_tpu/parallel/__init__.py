@@ -1,5 +1,5 @@
 from .collectives import benchmark_collectives
-from .fsdp import bitnet_fsdp_linear, enable_bitnet_fsdp
+from .fsdp import bitnet_fsdp_linear, bitnet_fsdp_params
 from .tp import kv_cache_spec, shard_kv_cache, shard_params_tp, tp_param_spec
 from .mesh import (
     batch_spec,
@@ -18,7 +18,7 @@ __all__ = [
     "batch_spec",
     "param_spec",
     "bitnet_fsdp_linear",
-    "enable_bitnet_fsdp",
+    "bitnet_fsdp_params",
     "benchmark_collectives",
     "tp_param_spec",
     "shard_params_tp",

@@ -43,20 +43,22 @@ from ..quant.core import (
 
 Array = jax.Array
 
-# set by the training driver when bitnet + fsdp>1 are both active; read by
-# quant.bitnet.linear to route through the quantized all-gather
-_FSDP_CTX: dict = {"mesh": None}
+def bitnet_fsdp_params(params, mesh: Mesh | None):
+    """Thread ``mesh`` into every BitNetWeight wrapper (static metadata),
+    routing their linears through the quantized 2-bit all-gather.
 
+    Replaces the old mutable module-global context: the mesh rides the
+    param pytree itself, so a cached trace can never capture a stale one.
+    Pass ``mesh=None`` to restore single-device routing.
+    """
+    from ..quant.bitnet import BitNetWeight
 
-def enable_bitnet_fsdp(mesh: Mesh | None) -> None:
-    _FSDP_CTX["mesh"] = mesh
-
-
-def bitnet_fsdp_mesh() -> Mesh | None:
-    m = _FSDP_CTX["mesh"]
-    if m is not None and m.shape.get("fsdp", 1) > 1:
-        return m
-    return None
+    active = mesh if mesh is not None and mesh.shape.get("fsdp", 1) > 1 else None
+    return jax.tree.map(
+        lambda x: BitNetWeight(x.data, active) if isinstance(x, BitNetWeight) else x,
+        params,
+        is_leaf=lambda x: isinstance(x, BitNetWeight),
+    )
 
 
 @jax.custom_vjp

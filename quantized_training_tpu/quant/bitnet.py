@@ -38,12 +38,21 @@ from .core import (
 Array = jax.Array
 
 
-@partial(jax.tree_util.register_dataclass, data_fields=["data"], meta_fields=[])
+@partial(
+    jax.tree_util.register_dataclass, data_fields=["data"], meta_fields=["mesh"]
+)
 @dataclass
 class BitNetWeight:
-    """bf16 master weight, ternarized on the fly every matmul."""
+    """bf16 master weight, ternarized on the fly every matmul.
+
+    ``mesh`` (static metadata) routes the linear through the quantized
+    2-bit FSDP all-gather when set with an fsdp axis > 1 — threaded
+    explicitly by ``parallel.bitnet_fsdp_params`` rather than via global
+    state, so a trace can never capture a stale mesh.
+    """
 
     data: Array  # [out, in]
+    mesh: object = None  # jax.sharding.Mesh | None (hashable, static)
 
     @property
     def dtype(self):
@@ -142,10 +151,10 @@ def linear(
         out = _bitnet_packed_linear(x2d, w.packed, w.scale)
         out_features = w.shape[0]
     else:
-        from ..parallel import fsdp as _fsdp
+        mesh = w.mesh
+        if mesh is not None and mesh.shape.get("fsdp", 1) > 1:
+            from ..parallel import fsdp as _fsdp
 
-        mesh = _fsdp.bitnet_fsdp_mesh()
-        if mesh is not None:
             # quantized 2-bit FSDP all-gather path (bitnet.py:83-107)
             out = _fsdp.bitnet_fsdp_linear(x2d, w.data, mesh)
         else:

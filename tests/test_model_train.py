@@ -285,3 +285,38 @@ class TestCheckpoint:
         w1 = loaded["params"]["layers"]["q"]["w"]
         assert isinstance(w1, quant.Int8Weight)
         np.testing.assert_array_equal(np.asarray(w0.int_data), w1.int_data)
+
+
+class TestFusedCrossEntropy:
+    def test_fused_loss_matches_explicit_logits(self):
+        """llama.loss_fn (chunk-fused head+CE) == the explicit-logits
+        log_softmax path, for loss AND grads."""
+        cfg = TINY
+        params = llama.init_params(jax.random.PRNGKey(0), cfg)
+        tokens = jax.random.randint(
+            jax.random.PRNGKey(1), (2, 32), 0, cfg.vocab_size, jnp.int32
+        )
+        labels = jnp.roll(tokens, -1, -1).at[:, -1].set(-100)
+
+        def explicit(params):
+            logits = llama.forward(params, tokens, cfg).astype(jnp.float32)
+            V = logits.shape[-1]
+            lg = logits.reshape(-1, V)
+            lb = labels.reshape(-1)
+            valid = lb != -100
+            logp = jax.nn.log_softmax(lg, axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, jnp.where(valid, lb, 0)[:, None], axis=-1
+            )[:, 0]
+            return jnp.where(valid, nll, 0.0).sum() / jnp.maximum(valid.sum(), 1)
+
+        def fused(params):
+            return llama.loss_fn(params, tokens, labels, cfg)
+
+        l_ref, g_ref = jax.value_and_grad(explicit)(params)
+        l_fused, g_fused = jax.value_and_grad(fused)(params)
+        assert abs(float(l_ref) - float(l_fused)) < 2e-3
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fused)):
+            af, bf = np.asarray(a, np.float32), np.asarray(b, np.float32)
+            scale = max(np.abs(af).max(), 1e-6)
+            assert np.abs(af - bf).max() / scale < 0.02

@@ -14,7 +14,7 @@ from quantized_training_tpu.models import llama
 from quantized_training_tpu.parallel import (
     benchmark_collectives,
     bitnet_fsdp_linear,
-    enable_bitnet_fsdp,
+    bitnet_fsdp_params,
     make_mesh,
     param_spec,
     shard_batch,
@@ -136,12 +136,9 @@ class TestBitNetFSDP:
         opt = optim.adamw_bf16_sr(bf16_stochastic_rounding=False)
         step = make_train_step(cfg, opt, donate=False)
         mesh = make_mesh({"data": 2, "fsdp": 4})
-        enable_bitnet_fsdp(mesh)
-        try:
-            s = shard_state(init_train_state(qparams, opt), mesh)
-            s, loss = _run_steps(s, step, mesh)
-        finally:
-            enable_bitnet_fsdp(None)
+        qparams = bitnet_fsdp_params(qparams, mesh)
+        s = shard_state(init_train_state(qparams, opt), mesh)
+        s, loss = _run_steps(s, step, mesh)
         assert np.isfinite(loss)
 
 
