@@ -68,36 +68,12 @@ def _quant_kv(x: Array):
     return quantize_int8(x, axis=-1)
 
 
-def _cached_attention(q, k_new, v_new, layer_cache, pos, flash_prefill=True):
-    """q/k_new/v_new: [B, T, H/KV, hd]; layer_cache: per-layer KVCache
-    slices (k [B, S, KV, hd] int8, ...). Returns (ctx, updated slices)."""
-    k_c, ks_c, v_c, vs_c = layer_cache
+def _attention_over_cache(q, k_c, ks_c, v_c, vs_c, pos):
+    """q [B, T, H, hd] against the (already updated) per-layer cache
+    slices k/v [B, S, KV, hd] int8 + scales. Returns ctx [B, T, H, hd]."""
     B, T, H, hd = q.shape
     S = k_c.shape[1]
-    KV = k_new.shape[2]
-
-    k_q, k_s = _quant_kv(k_new)
-    v_q, v_s = _quant_kv(v_new)
-    k_c = jax.lax.dynamic_update_slice(k_c, k_q, (0, pos, 0, 0))
-    ks_c = jax.lax.dynamic_update_slice(ks_c, k_s.astype(ks_c.dtype), (0, pos, 0, 0))
-    v_c = jax.lax.dynamic_update_slice(v_c, v_q, (0, pos, 0, 0))
-    vs_c = jax.lax.dynamic_update_slice(vs_c, v_s.astype(vs_c.dtype), (0, pos, 0, 0))
-
-    # PREFILL fast path: at pos==0 (static) nothing before the fresh tokens
-    # exists, so causal attention over the dequantized fresh K/V equals
-    # attention over the cache — route it through the flash/splash kernel
-    # instead of materializing [B, H, T, S] fp32 scores (~250 ms at bs32
-    # T512 on v5e). Attending over dequant(quant(k)) keeps prefill/decode
-    # numerics identical (both see the quantized cache).
-    # NOT taken under tensor parallelism (flash_prefill=False): GSPMD
-    # cannot partition the Pallas kernel over head-sharded operands — the
-    # einsum path below partitions cleanly over the 'model' axis.
-    if flash_prefill and isinstance(pos, int) and pos == 0 and T > 1:
-        if llama._resolve_attn_impl("auto", T) != "xla":
-            k_deq_new = (k_q.astype(k_s.dtype) * k_s).astype(q.dtype)
-            v_deq_new = (v_q.astype(v_s.dtype) * v_s).astype(q.dtype)
-            ctx = llama.attention(q, k_deq_new, v_deq_new, "auto")
-            return ctx, (k_c, ks_c, v_c, vs_c)
+    KV = k_c.shape[2]
 
     # dequantize the whole cache for attention (bf16 MXU); masked positions
     # have scale 0 so they contribute zeros pre-mask anyway
@@ -122,7 +98,7 @@ def _cached_attention(q, k_new, v_new, layer_cache, pos, flash_prefill=True):
     scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     ctx = jnp.einsum("bkgts,bskd->btkgd", probs, v_deq)
-    return ctx.reshape(B, T, H, hd), (k_c, ks_c, v_c, vs_c)
+    return ctx.reshape(B, T, H, hd)
 
 
 def forward_with_cache(
@@ -134,7 +110,15 @@ def forward_with_cache(
     flash_prefill: bool = True,
 ):
     """tokens [B, T] at absolute positions pos..pos+T -> (logits [B, T, V],
-    updated cache). Used for both prefill (T>1) and decode (T=1)."""
+    updated cache). Used for both prefill (T>1) and decode (T=1).
+
+    The cache rides the layer scan as CARRY and each layer writes only its
+    fresh [T]-token rows via dynamic_update_slice — XLA aliases the carry
+    buffers, so the cache updates in place. (An earlier version scanned
+    over per-layer cache slices and stacked updated slices as scan
+    outputs; that copied the ENTIRE cache every call — ~2.5 ms of a
+    4.6 ms bs32 decode step on v5e.)
+    """
     B, T = tokens.shape
     x = params["embed"]["embedding"][tokens]
     cos_full, sin_full = llama.rope_tables(cfg, cache.max_len)
@@ -143,17 +127,53 @@ def forward_with_cache(
 
     H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-    def layer_fn(x, inputs):
-        lp, kc, ksc, vc, vsc = inputs
+    # PREFILL fast path (static pos==0): nothing before the fresh tokens
+    # exists, so causal attention over the dequantized fresh K/V equals
+    # attention over the cache — route it through the flash/splash kernel
+    # instead of materializing [B, H, T, S] fp32 scores (~250 ms at bs32
+    # T512 on v5e). Attending over dequant(quant(k)) keeps prefill/decode
+    # numerics identical (both see the quantized cache).
+    # NOT taken under tensor parallelism (flash_prefill=False): GSPMD
+    # cannot partition the Pallas kernel over head-sharded operands — the
+    # cache-einsum path partitions cleanly over the 'model' axis.
+    use_flash_prefill = (
+        flash_prefill
+        and isinstance(pos, int)
+        and pos == 0
+        and T > 1
+        and llama._resolve_attn_impl("auto", T) != "xla"
+    )
+
+    def layer_fn(carry, lp):
+        x, k_all, ks_all, v_all, vs_all, l = carry
         h = llama.rms_norm(x, lp["attn_norm"]["g"], cfg.rms_norm_eps)
         q = qlinear(h, lp["q"]["w"]).reshape(B, T, H, hd)
         k = qlinear(h, lp["k"]["w"]).reshape(B, T, KV, hd)
         v = qlinear(h, lp["v"]["w"]).reshape(B, T, KV, hd)
         q = llama.apply_rope(q, cos, sin)
         k = llama.apply_rope(k, cos, sin)
-        ctx, new_cache = _cached_attention(
-            q, k, v, (kc, ksc, vc, vsc), pos, flash_prefill
+
+        k_q, k_s = _quant_kv(k)
+        v_q, v_s = _quant_kv(v)
+        idx = (l, 0, pos, 0, 0)
+        k_all = jax.lax.dynamic_update_slice(k_all, k_q[None], idx)
+        ks_all = jax.lax.dynamic_update_slice(
+            ks_all, k_s.astype(ks_all.dtype)[None], idx
         )
+        v_all = jax.lax.dynamic_update_slice(v_all, v_q[None], idx)
+        vs_all = jax.lax.dynamic_update_slice(
+            vs_all, v_s.astype(vs_all.dtype)[None], idx
+        )
+
+        if use_flash_prefill:
+            k_deq = (k_q.astype(k_s.dtype) * k_s).astype(q.dtype)
+            v_deq = (v_q.astype(v_s.dtype) * v_s).astype(q.dtype)
+            ctx = llama.attention(q, k_deq, v_deq, "auto")
+        else:
+            sl = lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False)
+            ctx = _attention_over_cache(
+                q, sl(k_all), sl(ks_all), sl(v_all), sl(vs_all), pos
+            )
         ctx = ctx.reshape(B, T, H * hd)
         if cfg.bitnet:
             ctx = llama.rms_norm(ctx, lp["o_norm"]["g"], cfg.rms_norm_eps)
@@ -164,12 +184,16 @@ def forward_with_cache(
         if cfg.bitnet:
             act = llama.rms_norm(act, lp["down_norm"]["g"], cfg.rms_norm_eps)
         x = x + qlinear(act, lp["down"]["w"])
-        return x, new_cache
+        return (x, k_all, ks_all, v_all, vs_all, l + 1), None
 
-    x, new_slices = jax.lax.scan(
-        layer_fn, x, (params["layers"], cache.k, cache.k_scale, cache.v, cache.v_scale)
+    carry0 = (
+        x, cache.k, cache.k_scale, cache.v, cache.v_scale,
+        jnp.zeros((), jnp.int32),
     )
-    new_cache = KVCache(*new_slices)
+    (x, k_all, ks_all, v_all, vs_all, _), _ = jax.lax.scan(
+        layer_fn, carry0, params["layers"]
+    )
+    new_cache = KVCache(k_all, ks_all, v_all, vs_all)
 
     x = llama.rms_norm(x, params["final_norm"]["g"], cfg.rms_norm_eps)
     lm_w = (

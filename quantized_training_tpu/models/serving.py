@@ -137,8 +137,12 @@ def make_decode_step(cfg: llama.LlamaConfig):
             s = sin[:, :, None, :].astype(t.dtype)
             return t * c + rot * s
 
-        def layer_fn(x, inputs):
-            lp, kc, ksc, vc, vsc = inputs
+        def layer_fn(carry, lp):
+            # cache arrays ride the CARRY (aliased in place by XLA) and
+            # only the per-slot fresh rows are scattered — scanning the
+            # cache through xs/ys would copy it wholesale every step
+            # (llama_infer.forward_with_cache has the same design)
+            x, kca, ksca, vca, vsca, l = carry
             h = llama.rms_norm(x, lp["attn_norm"]["g"], cfg.rms_norm_eps)
             q = rope1(qlinear(h, lp["q"]["w"]).reshape(B, 1, H, hd))
             k = rope1(qlinear(h, lp["k"]["w"]).reshape(B, 1, KV, hd))
@@ -149,11 +153,15 @@ def make_decode_step(cfg: llama.LlamaConfig):
             # per-slot scatter at each slot's own position (vectorized
             # one-row update along the sequence axis)
             rows = jnp.arange(B)
-            kc = kc.at[rows, state.pos].set(k_q[:, 0])
-            ksc = ksc.at[rows, state.pos].set(k_s[:, 0].astype(ksc.dtype))
-            vc = vc.at[rows, state.pos].set(v_q[:, 0])
-            vsc = vsc.at[rows, state.pos].set(v_s[:, 0].astype(vsc.dtype))
+            kca = kca.at[l, rows, state.pos].set(k_q[:, 0])
+            ksca = ksca.at[l, rows, state.pos].set(k_s[:, 0].astype(ksca.dtype))
+            vca = vca.at[l, rows, state.pos].set(v_q[:, 0])
+            vsca = vsca.at[l, rows, state.pos].set(v_s[:, 0].astype(vsca.dtype))
 
+            kc = kca[l]
+            ksc = ksca[l]
+            vc = vca[l]
+            vsc = vsca[l]
             k_deq = kc.astype(ksc.dtype) * ksc  # [B, S, KV, hd]
             v_deq = vc.astype(vsc.dtype) * vsc
             G = H // KV
@@ -178,13 +186,14 @@ def make_decode_step(cfg: llama.LlamaConfig):
             if cfg.bitnet:
                 act = llama.rms_norm(act, lp["down_norm"]["g"], cfg.rms_norm_eps)
             x = x + qlinear(act, lp["down"]["w"])
-            return x, (kc, ksc, vc, vsc)
+            return (x, kca, ksca, vca, vsca, l + 1), None
 
         c = state.cache
-        x, new_slices = jax.lax.scan(
-            layer_fn, x, (params["layers"], c.k, c.k_scale, c.v, c.v_scale)
+        carry0 = (x, c.k, c.k_scale, c.v, c.v_scale, jnp.zeros((), jnp.int32))
+        (x, k_all, ks_all, v_all, vs_all, _), _ = jax.lax.scan(
+            layer_fn, carry0, params["layers"]
         )
-        cache = KVCache(*new_slices)
+        cache = KVCache(k_all, ks_all, v_all, vs_all)
 
         x = llama.rms_norm(x, params["final_norm"]["g"], cfg.rms_norm_eps)
         lm_w = (

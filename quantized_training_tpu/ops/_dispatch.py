@@ -6,9 +6,13 @@ native int8 ``dot_general`` with the fp32 scale epilogue fused by the
 compiler beats the hand-written Pallas scaled_mm kernel — 11,892 vs
 8,224 tok/s — because XLA overlaps the quantize/dequantize elementwise
 work with the MXU pipeline across op boundaries, which a standalone
-pallas_call cannot. The Pallas kernels remain available via
-``set_backend("pallas")`` (and are the required path for ops XLA has no
-good lowering for, e.g. the fused-SR optimizer update).
+pallas_call cannot. An 18-config autotune sweep (ops/autotune.py)
+confirms the scoping: the best Pallas block config reaches 303 TFLOPS at
+4096^3 int8 vs 337 for XLA's dot+epilogue, so the Pallas kernel layer's
+value on this chip is (a) fusions XLA cannot express — the quantize
+family, in-kernel-unpack INT4, in-kernel-SR optimizer — and (b) the
+tile-scaled two-accumulator GEMM. The MXU workhorse stays on XLA. The
+Pallas kernels remain available via ``set_backend("pallas")``.
 """
 
 from __future__ import annotations

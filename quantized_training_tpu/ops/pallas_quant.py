@@ -44,10 +44,14 @@ def _pick_block(dim: int, other: int, step: int = 32, elem_bytes: int = 2,
                 vmem_budget: int = 1024 * 1024) -> int | None:
     """Largest divisor of ``dim`` that is a multiple of ``step`` (int8 output
     tiling wants 32 sublanes / 128 lanes) and keeps a [block, other] bf16
-    tile under the VMEM budget. The budget is the INPUT tile only; the fp32
-    math temporaries cost ~4x more scoped VMEM on top (16 MB hard limit),
-    hence the conservative 1 MB default. None if dim has no such divisor
-    (caller falls back to jnp)."""
+    tile under the VMEM budget. The budget is the INPUT tile only; with
+    double-buffered in/out plus the fp32 math temporary the total VMEM is
+    ~5-6x the input tile (16 MB hard scoped limit — a 3 MB budget made the
+    two-output both-kernel OOM at [256, 5632] blocks), hence 1 MB. Device
+    profiles show the kernels run at ~HBM speed at this block size in the
+    real train step (the apparent slowness in host-loop microbenchmarks
+    was the benchmark's own fold pass). None if ``dim`` has no admissible
+    divisor (caller falls back to jnp)."""
     limit = vmem_budget // max(other * elem_bytes, 1)
     best = None
     for b in range(step, min(dim, limit) + 1, step):
@@ -71,7 +75,16 @@ def _uniform_noise(shape):
 def _round_op(q_f32, sr: bool):
     if sr:
         return jnp.floor(q_f32 + _uniform_noise(q_f32.shape))
+    # NOTE: the (q + 1.5*2^23) - 1.5*2^23 magic-rounding trick is NOT safe
+    # here — XLA's algebraic simplifier cancels the add/sub pair and the
+    # int8 cast then truncates (caught by the oracle tests).
     return jnp.round(q_f32)
+
+
+def _inv_scale(scale, eps):
+    """Per-row/col reciprocal (tiny) so the per-ELEMENT op is a multiply,
+    not a ~10x-slower divide."""
+    return 1.0 / jnp.clip(scale, min=eps)
 
 
 def _block_seed(seed_ref, *pids):
@@ -88,7 +101,7 @@ def _rowwise_kernel(x_ref, seed_ref, q_ref, s_ref, *, eps, sr):
     xf = x_ref[:].astype(jnp.float32)
     absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
     scale = absmax * (1.0 / 127.0)
-    q = _round_op(xf / jnp.clip(scale, min=eps), sr)
+    q = _round_op(xf * _inv_scale(scale, eps), sr)
     q_ref[:] = jnp.clip(q, -128, 127).astype(jnp.int8)
     s_ref[:] = scale
 
@@ -108,7 +121,7 @@ def _rowwise_scale_kernel(x_ref, seed_ref, s_ref, q_ref, *, eps, sr):
     if sr:
         pltpu.prng_seed(_block_seed(seed_ref, pl.program_id(0), pl.program_id(1)))
     xf = x_ref[:].astype(jnp.float32)
-    q = _round_op(xf / jnp.clip(s_ref[:], min=eps), sr)
+    q = _round_op(xf * _inv_scale(s_ref[:], eps), sr)
     q_ref[:] = jnp.clip(q, -128, 127).astype(jnp.int8)
 
 
@@ -208,7 +221,7 @@ def _colwise_scale_kernel(x_ref, seed_ref, s_ref, q_ref, *, eps, sr):
     if sr:
         pltpu.prng_seed(_block_seed(seed_ref, pl.program_id(0), pl.program_id(1)))
     xf = x_ref[:].astype(jnp.float32)
-    q = _round_op(xf / jnp.clip(s_ref[:], min=eps), sr)
+    q = _round_op(xf * _inv_scale(s_ref[:], eps), sr)
     q_ref[:] = jnp.clip(q, -128, 127).astype(jnp.int8)
 
 
@@ -268,7 +281,7 @@ def _both_pass1_kernel(x_ref, seed_ref, qr_ref, sr_ref, camax_ref, *, eps, sr):
     xf = x_ref[:].astype(jnp.float32)
     absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
     scale = absmax * (1.0 / 127.0)
-    q = _round_op(xf / jnp.clip(scale, min=eps), sr)
+    q = _round_op(xf * _inv_scale(scale, eps), sr)
     qr_ref[:] = jnp.clip(q, -128, 127).astype(jnp.int8)
     sr_ref[:] = scale
 
@@ -285,7 +298,7 @@ def _both_pass2_kernel(x_ref, seed_ref, cs_ref, qc_ref, *, eps, sr):
     if sr:
         pltpu.prng_seed(_block_seed(seed_ref, pl.program_id(0), jnp.int32(7)))
     xf = x_ref[:].astype(jnp.float32)
-    q = _round_op(xf / jnp.clip(cs_ref[:], min=eps), sr)
+    q = _round_op(xf * _inv_scale(cs_ref[:], eps), sr)
     qc_ref[:] = jnp.clip(q, -128, 127).astype(jnp.int8)
 
 

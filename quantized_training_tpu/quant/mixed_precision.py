@@ -122,64 +122,26 @@ def _all_int8(config: MixedPrecisionConfig) -> bool:
 
 
 def _mp_linear_fwd(config, x2d, w, key):
-    if _all_int8(config):
-        # All three matmuls INT8: quantize x and w along BOTH axes here,
-        # in ONE fused kernel each (rowwise feeds the forward matmul,
-        # colwise is stashed as the backward residual). Under remat this
-        # function executes inside the BACKWARD region (the primal pass
-        # runs `_mp_linear`, which stays rowwise-only), so the recompute's
-        # rowwise quantize and the backward's colwise quantize collapse
-        # into one both-axis kernel — a full read+write pass saved per
-        # tensor. Bonus: the residuals are int8, half the bf16 footprint.
-        sr = config.stochastic_rounding
-        kx = kw = None
-        if sr:
-            kx, kw = jax.random.split(_subkey(key, 0))
-        x_row, x_row_s, x_col, x_col_s = quantize_int8_both(
-            x2d, stochastic_rounding=sr, key=kx
-        )
-        w_row, w_row_s, w_col, w_col_s = quantize_int8_both(
-            w, stochastic_rounding=sr, key=kw
-        )
-        # y = x @ w.T: contract x axis 1 with w axis 1 (both rowwise)
-        y = scaled_mm_general(
-            x_row, w_row, x_row_s, w_row_s, dims=(1, 1), out_dtype=x2d.dtype
-        )
-        return y, ((x_col, x_col_s, w_col, w_col_s), None, key)
-    return _mp_linear(config, x2d, w, key), (None, (x2d, w), key)
+    # NOTE: when the loss is differentiated, THIS function (not the
+    # primal `_mp_linear`) runs in the forward pass — so it must not do
+    # any backward-only work. An earlier version quantized x and w along
+    # both axes here with the fused both-kernel and stashed int8
+    # residuals; since a multi-output custom call cannot be partially
+    # DCE'd, the forward pass paid the colwise passes for nothing
+    # (~19 ms/step at bench shapes).
+    return _mp_linear(config, x2d, w, key), (x2d, w, key)
 
 
 def _mp_linear_bwd(config, res, g):
-    qres, fres, key = res
-    if _all_int8(config):
-        x_col, x_col_s, w_col, w_col_s = qres
-        g = g.astype(w_col_s.dtype)
-        sr = config.stochastic_rounding
-        kg = jax.random.split(_subkey(key, 1))[0] if sr else None
-        g_row, g_row_s, g_col, g_col_s = quantize_int8_both(
-            g, stochastic_rounding=sr, key=kg
-        )
-        # grad_input = g @ w: contract g axis 1 with w axis 0 (colwise)
-        grad_input = scaled_mm_general(
-            g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=g.dtype
-        )
-        # grad_w = g.T @ x expressed transpose-free: contract BOTH over
-        # the token dim with g as the LHS, so the result comes out
-        # [out, in] directly — an explicit .T on the [in, out] product
-        # materialized a ~1 ms copy per weight per layer (~80 ms/step)
-        grad_weight = scaled_mm_general(
-            g_col, x_col, g_col_s, x_col_s, dims=(0, 0), out_dtype=g.dtype
-        )
-        return grad_input, grad_weight, None
-
-    x2d, w = fres
+    x2d, w, key = res
     g = g.astype(w.dtype)
 
     if config.grad_input and config.grad_weight and config.dtype == "int8":
         # both backward matmuls INT8: g is needed quantized along BOTH
         # axes (rowwise for grad_input, colwise for grad_weight) — the
         # fused both-axis kernel reads the bf16 g twice instead of the
-        # 3 passes two separate quantizes would cost
+        # 3 passes two separate quantizes would cost. g exists only in
+        # the backward, so the fused kernel never taxes the forward.
         sr = config.stochastic_rounding
         kg = kw = kx = None
         if sr:
@@ -192,9 +154,13 @@ def _mp_linear_bwd(config, res, g):
         grad_input = scaled_mm_general(
             g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=w.dtype
         )
+        # grad_w = g.T @ x expressed transpose-free: contract BOTH over
+        # the token dim with g as the LHS, so the result comes out
+        # [out, in] directly — an explicit .T on the [in, out] product
+        # materialized a ~1 ms copy per weight per layer (~80 ms/step)
         grad_weight = scaled_mm_general(
-            x_col, g_col, x_col_s, g_col_s, dims=(0, 0), out_dtype=w.dtype
-        ).T
+            g_col, x_col, g_col_s, x_col_s, dims=(0, 0), out_dtype=w.dtype
+        )
         return grad_input, grad_weight, None
 
     if config.grad_input:
