@@ -33,7 +33,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 
-from ..quant import qlinear
+from ..quant import qlinear, qlinear_multi
 
 Array = jax.Array
 
@@ -320,9 +320,15 @@ def _qkv_part(cfg: LlamaConfig, x, lp, cos, sin, key):
     B, S, _ = x.shape
     H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     h = rms_norm(x, lp["attn_norm"]["g"], cfg.rms_norm_eps)
-    q = qlinear(h, lp["q"]["w"], key=jax.random.fold_in(key, 0)).reshape(B, S, H, hd)
-    k = qlinear(h, lp["k"]["w"], key=jax.random.fold_in(key, 1)).reshape(B, S, KV, hd)
-    v = qlinear(h, lp["v"]["w"], key=jax.random.fold_in(key, 2)).reshape(B, S, KV, hd)
+    # shared-input multi-linear: h is dynamically quantized once for all
+    # three projections (fwd AND bwd) instead of once per matmul
+    q, k, v = qlinear_multi(
+        h, [lp["q"]["w"], lp["k"]["w"], lp["v"]["w"]],
+        key=jax.random.fold_in(key, 0),
+    )
+    q = q.reshape(B, S, H, hd)
+    k = k.reshape(B, S, KV, hd)
+    v = v.reshape(B, S, KV, hd)
     q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
     if cfg.save_qkv_residuals:
         # saved by the remat policy: the attention backward consumes
@@ -344,8 +350,7 @@ def _post_attn_part(cfg: LlamaConfig, x, ctx, lp, key):
     x = x + qlinear(ctx, lp["o"]["w"], key=lkey(3))
 
     h = rms_norm(x, lp["mlp_norm"]["g"], cfg.rms_norm_eps)
-    gate = qlinear(h, lp["gate"]["w"], key=lkey(4))
-    up = qlinear(h, lp["up"]["w"], key=lkey(5))
+    gate, up = qlinear_multi(h, [lp["gate"]["w"], lp["up"]["w"]], key=lkey(4))
     act = jax.nn.silu(gate) * up
     if cfg.bitnet:
         act = rms_norm(act, lp["down_norm"]["g"], cfg.rms_norm_eps)

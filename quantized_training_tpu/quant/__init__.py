@@ -9,6 +9,7 @@ from .api import (
     is_quant_weight,
     merge_masters,
     qlinear,
+    qlinear_multi,
     quantize_params,
     virtual_params,
 )
@@ -31,6 +32,7 @@ from .mixed_precision import MixedPrecisionWeight
 
 __all__ = [
     "qlinear",
+    "qlinear_multi",
     "quantize_params",
     "virtual_params",
     "merge_masters",

@@ -65,6 +65,24 @@ def qlinear(x: Array, w, bias: Array | None = None, *, key: Array | None = None)
     return out + bias if bias is not None else out
 
 
+def qlinear_multi(x: Array, weights, *, key: Array | None = None):
+    """[y_i = x @ w_i.T] for several heads sharing one input.
+
+    For mixed-precision all-int8 weights the shared input is dynamically
+    quantized ONCE for all heads (and once in the backward) —
+    quant/mixed_precision.py::linear_shared; other schemes fall back to
+    independent :func:`qlinear` calls (per-head subkeys)."""
+    if all(isinstance(w, _mp.MixedPrecisionWeight) for w in weights):
+        return _mp.linear_shared(x, weights, key=key)
+    return [
+        qlinear(
+            x, w,
+            key=None if key is None else jax.random.fold_in(key, i),
+        )
+        for i, w in enumerate(weights)
+    ]
+
+
 def _is_linear_weight_path(path) -> bool:
     """True for leaves stored under a dict key named 'w'.
 

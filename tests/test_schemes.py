@@ -254,3 +254,59 @@ class TestParamsAPI:
             np.asarray(new_qp["embed"]["embedding"]),
             np.asarray(qp["embed"]["embedding"]),
         )
+
+
+class TestSharedInputLinear:
+    def test_linear_shared_matches_independent(self):
+        """qlinear_multi (one shared-input quantize) == independent
+        qlinear calls bit-exactly in the deterministic all-int8 config,
+        for outputs AND grads."""
+        cfg = quant.MixedPrecisionConfig(
+            output=True, grad_input=True, grad_weight=True
+        )
+        kx, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 4)
+        x = jax.random.normal(kx, (64, 32), jnp.bfloat16)
+        ws = [
+            quant.MixedPrecisionWeight(
+                jax.random.normal(k, (o, 32), jnp.bfloat16) * 0.2, cfg
+            )
+            for k, o in ((k1, 48), (k2, 16), (k3, 16))
+        ]
+
+        def loss_shared(x, datas):
+            wl = [quant.MixedPrecisionWeight(d, cfg) for d in datas]
+            outs = quant.qlinear_multi(x, wl)
+            return sum((o.astype(jnp.float32) ** 2).sum() for o in outs)
+
+        def loss_indep(x, datas):
+            wl = [quant.MixedPrecisionWeight(d, cfg) for d in datas]
+            outs = [quant.qlinear(x, w) for w in wl]
+            return sum((o.astype(jnp.float32) ** 2).sum() for o in outs)
+
+        datas = [w.data for w in ws]
+        l1, g1 = jax.value_and_grad(loss_shared, argnums=(0, 1))(x, datas)
+        l2, g2 = jax.value_and_grad(loss_indep, argnums=(0, 1))(x, datas)
+        assert float(l1) == float(l2)
+        # weight grads are bit-identical; the x cotangent is the SUM of the
+        # three per-head grad_inputs — bf16 summation order differs between
+        # the fused bwd (sequential) and autodiff's cotangent accumulation,
+        # so allow a couple of ulps there
+        for a, b in zip(jax.tree.leaves(g1[1]), jax.tree.leaves(g2[1])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(
+            np.asarray(g1[0], np.float32), np.asarray(g2[0], np.float32),
+            rtol=0.05, atol=0.05,
+        )
+
+    def test_fallback_other_schemes(self):
+        x = jax.random.normal(jax.random.PRNGKey(1), (16, 32), jnp.bfloat16)
+        w1 = quant.Int8Weight.from_float(
+            jax.random.normal(jax.random.PRNGKey(2), (8, 32), jnp.bfloat16)
+        )
+        w2 = quant.Int8Weight.from_float(
+            jax.random.normal(jax.random.PRNGKey(3), (8, 32), jnp.bfloat16)
+        )
+        outs = quant.qlinear_multi(x, [w1, w2])
+        ref = [quant.qlinear(x, w1), quant.qlinear(x, w2)]
+        for o, r in zip(outs, ref):
+            np.testing.assert_array_equal(np.asarray(o), np.asarray(r))
