@@ -197,28 +197,71 @@ def sweep_scaled_mm(M: int, K: int, N: int, dtype="int8", verbose=True):
     return results[0][0], results[0][1], results
 
 
-def save_entry(kernel: str, dtype: str, M: int, K: int, N: int, blocks, tflops):
+def save_entry(kernel: str, dtype: str, M: int, K: int, N: int, blocks, tflops,
+               xla_tflops: float | None = None):
     key = _device_key()
     TUNED_DIR.mkdir(exist_ok=True)
     path = TUNED_DIR / f"{key}.json"
     cache = dict(_load_cache(key))
-    cache[_entry_key(kernel, dtype, M, K, N)] = {
+    entry = {
         "blocks": list(blocks),
         "tflops": round(tflops, 1),
     }
+    if xla_tflops is not None:
+        entry["xla_tflops"] = round(xla_tflops, 1)
+    cache[_entry_key(kernel, dtype, M, K, N)] = entry
     with open(path, "w") as f:
         json.dump(cache, f, indent=1, sort_keys=True)
     _load_cache.cache_clear()
 
 
+def pallas_wins(kernel: str, M: int, K: int, N: int, dtype,
+                margin: float = 1.03) -> bool:
+    """True when the tuned cache has BOTH a Pallas and an XLA measurement
+    for this exact shape and Pallas beats XLA by ``margin``. Drives the
+    per-shape 'auto' dispatch in ops.scaled_mm."""
+    import jax.numpy as jnp
+
+    dt = jnp.dtype(dtype).name
+    hit = _load_cache(_device_key()).get(_entry_key(kernel, dt, M, K, N))
+    if not hit or "xla_tflops" not in hit:
+        return False
+    return hit["tflops"] > hit["xla_tflops"] * margin
+
+
+def measure_xla_scaled(M: int, K: int, N: int, dtype="int8") -> float:
+    """Time XLA's dot+epilogue at this shape (the dispatch baseline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .scaled_mm import scaled_mm
+    from . import _dispatch
+
+    dt = jnp.dtype(dtype)
+    kx, kw = jax.random.split(jax.random.PRNGKey(0))
+    if dt == jnp.int8:
+        a = jax.random.randint(kx, (M, K), -128, 128, jnp.int8)
+        b = jax.random.randint(kw, (K, N), -128, 128, jnp.int8)
+    else:
+        a = jax.random.normal(kx, (M, K), dt)
+        b = jax.random.normal(kw, (K, N), dt)
+    sa = jnp.ones((M, 1), jnp.float32)
+    sb = jnp.ones((1, N), jnp.float32)
+
+    def fn(a_, b_):
+        with _dispatch.use_backend("xla"):
+            return scaled_mm(a_, b_, sa, sb)
+
+    return _time_config(fn, (a, b), 2.0 * M * K * N)
+
+
 TRAIN_SHAPES = [
-    # llama2-1b bs8 seq2048 fused-projection training shapes [M, K, N]
-    (16384, 2048, 2560),   # qkv fwd
-    (16384, 2048, 2048),   # o fwd
-    (16384, 2048, 11264),  # gate_up fwd
-    (16384, 5632, 2048),   # down fwd
-    (16384, 2560, 2048),   # qkv grad_input
-    (16384, 11264, 2048),  # gate_up grad_input
+    # llama2-1b bs8 seq2048 training shapes [M, K, N] in the canonical
+    # A[M,K] @ B[K,N] form (fwd matmuls contract w along axis 1 and the
+    # grad_input matmuls along axis 0; the SHAPES coincide)
+    (16384, 2048, 2048),   # q/o fwd + their grad_input
+    (16384, 2048, 5632),   # gate/up fwd, down grad_input
+    (16384, 5632, 2048),   # down fwd, gate/up grad_input
 ]
 
 
@@ -234,9 +277,15 @@ def main(argv=None):
         shapes += TRAIN_SHAPES
     for M, K, N in shapes:
         print(f"scaled_mm {args.dtype} [{M},{K}]x[{K},{N}]:", file=sys.stderr)
+        xla_tf = measure_xla_scaled(M, K, N, args.dtype)
+        print(f"  xla: {xla_tf:.1f} TFLOPS", file=sys.stderr)
         blocks, tf, _ = sweep_scaled_mm(M, K, N, args.dtype)
-        save_entry("scaled_mm", args.dtype, M, K, N, blocks, tf)
-        print(f"BEST {M}x{K}x{N}: {blocks} @ {tf:.1f} TFLOPS", file=sys.stderr)
+        save_entry("scaled_mm", args.dtype, M, K, N, blocks, tf, xla_tflops=xla_tf)
+        print(
+            f"BEST {M}x{K}x{N}: {blocks} @ {tf:.1f} TFLOPS "
+            f"(xla {xla_tf:.1f} -> {'PALLAS' if tf > xla_tf * 1.03 else 'XLA'})",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

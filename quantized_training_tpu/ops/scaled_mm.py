@@ -86,7 +86,12 @@ def scaled_mm(
     )
 
     if row_col_mode:
-        if _dispatch.backend() == "pallas":
+        use_pallas = _dispatch.backend() == "pallas"
+        if not use_pallas and _dispatch.raw_backend() == "auto" and a.dtype == jnp.int8:
+            from .autotune import pallas_wins
+
+            use_pallas = pallas_wins("scaled_mm", M, K, N, a.dtype)
+        if use_pallas:
             from . import pallas_mm
 
             return pallas_mm.scaled_mm(a, b, scale_a, scale_b, out_dtype=out_dtype)
@@ -143,6 +148,16 @@ def scaled_mm_general(
         a_std = a if ca == 1 else a.T
         b_std = b if cb == 0 else b.T
         return pallas_mm.scaled_mm(a_std, b_std, scale_a, scale_b, out_dtype=out_dtype)
+    if dims == (1, 0) and _dispatch.raw_backend() == "auto" and a.dtype == jnp.int8:
+        # per-shape data-driven dispatch: the canonical [M,K]@[K,N] form
+        # (the grad_input matmuls) can route to the tuned Pallas kernel
+        # when the autotune cache has measured it faster than XLA here
+        from .autotune import pallas_wins
+
+        if pallas_wins("scaled_mm", M, a.shape[ca], N, a.dtype):
+            from . import pallas_mm
+
+            return pallas_mm.scaled_mm(a, b, scale_a, scale_b, out_dtype=out_dtype)
     acc = jax.lax.dot_general(
         a, b, (((ca,), (cb,)), ((), ())), preferred_element_type=_accum_dtype(a.dtype)
     ).astype(jnp.float32)
