@@ -4,8 +4,11 @@ The reference uses external timm ViTs (timm_finetune.py:138,
 timm_imagenet.py) and quantizes their nn.Linear weights; this is the
 TPU-native equivalent model family with the same quantization surface:
 every linear weight leaf lives under a dict key "w" [out, in] so
-``quant.quantize_params`` wraps them (patch-embed + head included — the
-reference quantizes every nn.Linear including the head,
+``quant.quantize_params`` wraps them (patch-embed included; the
+CLASSIFIER HEAD is excluded by the default sub-MXU-tile filter — its
+[num_classes, D] shape cannot win from int8 and the odd shape triggers
+the slow conv-emitter lowering, measured 3.5x end-to-end slowdown at
+ViT-Huge. The reference quantizes every nn.Linear including the head,
 timm_finetune.py:141 TODO notwithstanding).
 
 Architecture: standard ViT (patch16 / learnable pos-embed / cls token /

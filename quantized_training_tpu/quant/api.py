@@ -102,10 +102,21 @@ def _default_filter(path, leaf) -> bool:
     """Linear 'w' leaves except the LM head: the reference quantizes only
     the transformer body — ``model.model`` — so the lm_head (and the tied
     embedding) stay full precision (llm_pretrain.py:122,
-    train_utils.py:36-39)."""
+    train_utils.py:36-39).
+
+    Also skips sub-MXU-tile linears (any matmul dim < 128, e.g. a ViT
+    classifier head [num_classes, D]): dynamic int8 cannot win below one
+    hardware tile, and their odd shapes fall off the fused Pallas
+    quantize kernels onto the jnp path, where XLA fuses the quantize
+    chain INTO the int8 dot and lowers it through a ~10x-slower
+    convolution emitter (measured: ViT-Huge int8 went 3.5x SLOWER than
+    bf16 with the head quantized).
+    """
     if any(getattr(p, "key", None) == "lm_head" for p in path):
         return False
-    return _is_linear_weight_path(path)
+    if not _is_linear_weight_path(path):
+        return False
+    return all(d >= 128 for d in leaf.shape[-2:])
 
 
 def quantize_params(

@@ -11,8 +11,10 @@ from quantized_training_tpu import optim, quant
 from quantized_training_tpu.models import vit
 from quantized_training_tpu.ops import conv as conv_ops
 
+# hidden >= 128 so the default sub-MXU-tile quantization filter (which
+# skips any linear with a dim < 128) still wraps the body linears
 TINY_VIT = vit.ViTConfig(
-    image_size=32, patch_size=8, hidden_size=64, num_layers=2, num_heads=2,
+    image_size=32, patch_size=8, hidden_size=128, num_layers=2, num_heads=2,
     num_classes=10,
 )
 
