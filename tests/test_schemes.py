@@ -202,12 +202,13 @@ class TestBitNet:
 
 class TestParamsAPI:
     def _params(self):
+        # linear dims >= 128: the default filter skips sub-MXU-tile linears
         k = jax.random.PRNGKey(8)
         return {
-            "embed": {"embedding": jax.random.normal(k, (100, 32))},
+            "embed": {"embedding": jax.random.normal(k, (100, 128))},
             "layers": {
-                "q": {"w": jax.random.normal(k, (2, 32, 32)) * 0.1},
-                "norm": {"g": jnp.ones((2, 32))},
+                "q": {"w": jax.random.normal(k, (2, 128, 128)) * 0.1},
+                "norm": {"g": jnp.ones((2, 128))},
             },
         }
 
