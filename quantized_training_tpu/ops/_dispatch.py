@@ -20,7 +20,13 @@ from __future__ import annotations
 import contextlib
 
 _BACKEND = "auto"
-_VALID = ("auto", "xla", "pallas")
+# 'tuned' = per-shape data-driven dispatch: canonical-form int8 scaled
+# matmuls route to the Pallas kernel where the autotune cache measured it
+# faster than XLA (e.g. 342 vs 328 TFLOPS at [16384,2048]x[2048,5632] on
+# v5e). Opt-in: embedding the large-block Pallas kernels inside the full
+# train program raised compile pressure past this environment's remote
+# helper, so 'auto' stays pure XLA for robustness.
+_VALID = ("auto", "xla", "pallas", "tuned")
 
 
 def set_backend(name: str) -> None:

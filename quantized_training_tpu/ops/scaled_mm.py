@@ -87,7 +87,7 @@ def scaled_mm(
 
     if row_col_mode:
         use_pallas = _dispatch.backend() == "pallas"
-        if not use_pallas and _dispatch.raw_backend() == "auto" and a.dtype == jnp.int8:
+        if not use_pallas and _dispatch.raw_backend() == "tuned" and a.dtype == jnp.int8:
             from .autotune import pallas_wins
 
             use_pallas = pallas_wins("scaled_mm", M, K, N, a.dtype)
@@ -148,7 +148,7 @@ def scaled_mm_general(
         a_std = a if ca == 1 else a.T
         b_std = b if cb == 0 else b.T
         return pallas_mm.scaled_mm(a_std, b_std, scale_a, scale_b, out_dtype=out_dtype)
-    if dims == (1, 0) and _dispatch.raw_backend() == "auto" and a.dtype == jnp.int8:
+    if dims == (1, 0) and _dispatch.raw_backend() == "tuned" and a.dtype == jnp.int8:
         # per-shape data-driven dispatch: the canonical [M,K]@[K,N] form
         # (the grad_input matmuls) can route to the tuned Pallas kernel
         # when the autotune cache has measured it faster than XLA here
