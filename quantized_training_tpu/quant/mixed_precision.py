@@ -262,10 +262,28 @@ def linear_shared(
         key = jax.random.PRNGKey(0)
     batch_dims = x.shape[:-1]
     x2d = x.reshape(-1, x.shape[-1])
+    x2d, M = _pad_tokens(x2d)
     outs = _mp_linear_shared(cfg, x2d, tuple(w.data for w in weights), key)
     return [
-        o.reshape(*batch_dims, w.data.shape[0]) for o, w in zip(outs, weights)
+        o[:M].reshape(*batch_dims, w.data.shape[0])
+        for o, w in zip(outs, weights)
     ]
+
+
+def _pad_tokens(x2d: Array) -> tuple[Array, int]:
+    """Pad the token dim up to a multiple of 256 (MXU/quantize tiling).
+
+    Models with non-power-of-two token counts (ViT: B x 197 patches)
+    otherwise force tiny quantize blocks and misaligned int8 dot tiles;
+    the pad/slice pair is traced, so autodiff routes the output-grad pad
+    for free. No-op for aligned shapes (all Llama configs)."""
+    M = x2d.shape[0]
+    Mp = -(-M // 256) * 256
+    # only pad at perf-relevant sizes: below that the pad just perturbs
+    # XLA's reduction blocking (breaking exact-passthrough expectations)
+    if Mp == M or M < 1024:
+        return x2d, M
+    return jnp.pad(x2d, ((0, Mp - M), (0, 0))), M
 
 
 def linear(
@@ -282,7 +300,8 @@ def linear(
         key = jax.random.PRNGKey(0)
     batch_dims = x.shape[:-1]
     x2d = x.reshape(-1, x.shape[-1])
-    out = _mp_linear(w.config, x2d, w.data, key)
+    x2d, M = _pad_tokens(x2d)
+    out = _mp_linear(w.config, x2d, w.data, key)[:M]
     out = out.reshape(*batch_dims, w.data.shape[0])
     if bias is not None:
         out = out + bias
