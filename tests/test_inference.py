@@ -12,7 +12,7 @@ from quantized_training_tpu.models import llama, llama_infer
 
 TINY = llama.LlamaConfig(
     vocab_size=256,
-    hidden_size=64,
+    hidden_size=128,
     intermediate_size=128,
     num_hidden_layers=2,
     num_attention_heads=4,

@@ -14,9 +14,11 @@ from quantized_training_tpu.models import llama
 from quantized_training_tpu.train import init_train_state, make_train_step
 from quantized_training_tpu.utils import LRSchedule, load_checkpoint, save_checkpoint
 
+# hidden >= 128 so the default sub-MXU-tile quantization filter still
+# wraps every body linear
 TINY = llama.LlamaConfig(
     vocab_size=256,
-    hidden_size=64,
+    hidden_size=128,
     intermediate_size=128,
     num_hidden_layers=2,
     num_attention_heads=4,

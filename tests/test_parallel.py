@@ -24,7 +24,7 @@ from quantized_training_tpu.train import init_train_state, make_train_step
 
 TINY = llama.LlamaConfig(
     vocab_size=256,
-    hidden_size=64,
+    hidden_size=128,
     intermediate_size=128,
     num_hidden_layers=2,
     num_attention_heads=4,
@@ -162,7 +162,7 @@ class TestTensorParallelInference:
         from jax.sharding import PartitionSpec as P
 
         cfg = llama.LlamaConfig(
-            vocab_size=256, hidden_size=64, intermediate_size=128,
+            vocab_size=256, hidden_size=128, intermediate_size=128,
             num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
             max_position_embeddings=48,
         )
@@ -195,7 +195,7 @@ class TestTensorParallelInference:
 
         mesh = make_mesh({"model": 4})
         cfg = llama.LlamaConfig(
-            vocab_size=256, hidden_size=64, intermediate_size=128,
+            vocab_size=256, hidden_size=128, intermediate_size=128,
             num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
         )
         params = llama.init_params(jax.random.PRNGKey(0), cfg)
@@ -279,7 +279,7 @@ class TestTPQuantizedServing:
     TP-generate matches the single-device quantized output."""
 
     CFG = llama.LlamaConfig(
-        vocab_size=256, hidden_size=64, intermediate_size=128,
+        vocab_size=256, hidden_size=128, intermediate_size=128,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
         max_position_embeddings=48,
     )

@@ -32,7 +32,7 @@ def test_resume_matches_uninterrupted(tmp_path):
     common = [
         "--model", "llama2-470m",
         "--model_kwargs", json.dumps(dict(
-            num_hidden_layers=2, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, hidden_size=128, intermediate_size=128,
             num_attention_heads=2, num_key_value_heads=2, vocab_size=256,
         )),
         "--train_ds", json.dumps(dict(type="markov", vocab_size=256, n_states=32)),

@@ -10,7 +10,7 @@ from quantized_training_tpu.models.serving import Server
 
 CFG = llama.LlamaConfig(
     vocab_size=256,
-    hidden_size=64,
+    hidden_size=128,
     intermediate_size=128,
     num_hidden_layers=2,
     num_attention_heads=4,
