@@ -5,10 +5,11 @@ llm_pretrain.py:228-237 tokens/sec logging): Llama-1B-class model at
 seq_len 2048, full train step (fwd + bwd + AdamW), INT8 dynamic row-wise
 quantization on the forward and BOTH backward matmuls vs the BF16 baseline.
 
-Timing note: the benchmark loop runs DEVICE-SIDE (lax.scan over train
-steps inside one jit) and times a single synchronized call — host-side
-per-step timing is unreliable through the remote-execution tunnel used in
-this environment.
+Timing note: per-step host timing with a loss readback every step — the
+readback forces real completion, and at ~1 s/step for the 1B model the
+~25 ms sync overhead through this environment's remote-execution tunnel
+is a few percent (a device-side lax.scan over train steps would be exact
+but crashes the environment's remote compile helper at 1B scale).
 
 Prints ONE JSON line:
   value        = INT8-MP training tokens/sec on this chip
