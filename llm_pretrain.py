@@ -182,10 +182,18 @@ def main() -> None:
 
     step = 0
     if args.resume is not None:
-        from quantized_training_tpu.parallel import state_shardings
+        from quantized_training_tpu.parallel import (
+            bitnet_fsdp_params,
+            state_shardings,
+        )
         from quantized_training_tpu.utils import materialize, restore_sharded
 
         ckpt = load_checkpoint(args.resume)
+        if args.quantize == "bitnet":
+            # checkpoints serialize BitNetWeight with mesh=None (a Mesh
+            # holds unpicklable Device objects); re-thread the live mesh
+            # so the loaded treedef matches state_shardings' treedef
+            ckpt["state"] = bitnet_fsdp_params(ckpt["state"], mesh)
         if mesh is not None:
             # shard-by-shard restore: cross-host FSDP shards are placed on
             # their devices directly, never gathered to one host

@@ -134,9 +134,10 @@ def evaluate_mc(
 
     predict = make_predict(cfg)
     n_correct = 0
-    n = len(tokens) - len(tokens) % batch_size
-    if n == 0:
-        n = len(tokens)
+    # score EVERY row: the final partial batch is padded up by repeating
+    # the last row (shapes stay fixed — no recompile), and the pad
+    # predictions are sliced off before scoring
+    n = len(tokens)
     for i in range(0, n, batch_size):
         sl = slice(i, min(i + batch_size, n))
         # ragged tail: pad the batch up by repeating the last row

@@ -102,25 +102,50 @@ class BatchLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         _END = object()
+        stop = threading.Event()
+
+        # snapshot BEFORE the worker starts mutating self.ds: a
+        # state_dict() call before the first batch is yielded must
+        # describe the pre-iteration position, not wherever the
+        # prefetcher has already advanced to
+        self._last_state = self.ds.state_dict()
+
+        def put(item) -> bool:
+            # stop-aware put: never leaves the worker blocked forever on
+            # a full queue after the consumer abandons iteration
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in self._batches():
-                    q.put((batch, self.ds.state_dict(), None))
-                q.put((_END, None, None))
+                    if not put((batch, self.ds.state_dict(), None)):
+                        return
+                put((_END, None, None))
             except BaseException as e:  # surface worker errors to consumer
-                q.put((_END, None, e))
+                put((_END, None, e))
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            batch, state, err = q.get()
-            if batch is _END:
-                if err is not None:
-                    raise err
-                return
-            self._last_state = state
-            yield batch
+        try:
+            while True:
+                batch, state, err = q.get()
+                if batch is _END:
+                    if err is not None:
+                        raise err
+                    return
+                self._last_state = state
+                yield batch
+        finally:
+            # consumer done (exhausted, errored, or closed early):
+            # release the worker and its handle on the dataset
+            stop.set()
+            t.join(timeout=5)
 
     def state_dict(self) -> dict:
         if self._last_state is not None:

@@ -246,17 +246,33 @@ class Server:
         self._slot_req: dict[int, int] = {}
         self._results: dict[int, list[int]] = {}
         self._budget: dict[int, int] = {}
+        self._queue: list[tuple[int, list, int]] = []  # (rid, prompt, budget)
         self._next_rid = 0
 
     def pending(self) -> bool:
-        return bool(self._slot_req)
+        return bool(self._slot_req) or bool(self._queue)
 
     def add_request(self, prompt_tokens, max_new_tokens: int) -> int:
-        if not self._free:
-            raise RuntimeError("no free slots — call step() until one frees")
-        slot = self._free.pop()
+        """Admit a request, or queue it when every slot is busy (queued
+        requests are admitted FIFO as slots free up inside step())."""
+        n = len(prompt_tokens)
+        limit = min(self.BUCKETS[-1], self.max_len)
+        if not 0 < n <= limit:
+            raise ValueError(
+                f"prompt length {n} exceeds limit {limit} "
+                f"(min(largest prefill bucket {self.BUCKETS[-1]}, "
+                f"max_len {self.max_len}))"
+            )
         rid = self._next_rid
         self._next_rid += 1
+        if not self._free:
+            self._results[rid] = []
+            self._queue.append((rid, list(prompt_tokens), max_new_tokens))
+            return rid
+        self._start(self._free.pop(), rid, prompt_tokens, max_new_tokens)
+        return rid
+
+    def _start(self, slot: int, rid: int, prompt_tokens, max_new_tokens: int):
         n = len(prompt_tokens)
         bucket = next(b for b in self.BUCKETS if b >= n)
         prompt = np.zeros((1, bucket), np.int32)
@@ -271,10 +287,15 @@ class Server:
         self._budget[rid] = max_new_tokens - 1
         if max_new_tokens <= 1 or first == self.eos:
             self._finish(slot)
-        return rid
+
+    def _admit(self):
+        while self._queue and self._free:
+            rid, prompt, budget = self._queue.pop(0)
+            self._start(self._free.pop(), rid, prompt, budget)
 
     def step(self):
         """One decode step for all active slots; returns [(rid, token)]."""
+        self._admit()  # fill any slots freed since the last step
         if not self._slot_req:
             return []
         self.state, toks = self._decode(self.params, self.state)

@@ -54,6 +54,17 @@ class BitNetWeight:
     data: Array  # [out, in]
     mesh: object = None  # jax.sharding.Mesh | None (hashable, static)
 
+    def __getstate__(self):
+        # A jax Mesh holds Device objects, which cannot be pickled — and a
+        # checkpoint must not bake runtime wiring anyway. Serialize with
+        # mesh=None; parallel.bitnet_fsdp_params re-threads the live mesh
+        # after load (llm_pretrain.py resume does this).
+        return {"data": self.data, "mesh": None}
+
+    def __setstate__(self, state):
+        self.data = state["data"]
+        self.mesh = state.get("mesh")
+
     @property
     def dtype(self):
         return self.data.dtype

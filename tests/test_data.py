@@ -86,3 +86,41 @@ def test_batchloader_prefetch_resume_exact():
     pre2.load_state_dict(state)
     nxt = next(iter(pre2))
     np.testing.assert_array_equal(nxt[0], sync_batches[3][0])
+
+
+def test_batchloader_prefetch_state_before_first_yield():
+    """Regression (ADVICE r2): a state_dict() taken after iter() but
+    before the first batch is yielded must describe position 0 — not
+    wherever the prefetch worker has already advanced the dataset."""
+    import time
+
+    def make():
+        ds = get_dataset("markov", seq_len=16, vocab_size=128, n_states=16, seed=1)
+        return BatchLoader(ds, batch_size=2, prefetch=2)
+
+    first = next(iter(make()))
+
+    dl = make()
+    it = iter(dl)
+    time.sleep(0.2)  # let the worker fill the queue (advancing dl.ds)
+    state = dl.state_dict()
+    it.close()
+
+    dl2 = make()
+    dl2.load_state_dict(state)
+    got = next(iter(dl2))
+    np.testing.assert_array_equal(got[0], first[0])
+
+
+def test_batchloader_prefetch_early_close_stops_worker():
+    """Abandoning iteration mid-stream must terminate the prefetch
+    worker (it used to stay blocked on q.put holding the dataset)."""
+    import threading
+
+    ds = get_dataset("markov", seq_len=16, vocab_size=128, n_states=16, seed=1)
+    dl = BatchLoader(ds, batch_size=2, prefetch=1)
+    n0 = threading.active_count()
+    it = iter(dl)
+    next(it)
+    it.close()  # triggers the generator's finally: stop + join
+    assert threading.active_count() == n0

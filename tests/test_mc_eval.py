@@ -93,3 +93,10 @@ def test_evaluate_mc_end_to_end(tmp_path):
     params = llama.init_params(jax.random.PRNGKey(0), TINY)
     acc = evaluate_mc(params, TINY, "mc", str(path), tokenizer=byte_tok, batch_size=4)
     assert 0.0 <= acc <= 1.0
+    # Regression (ADVICE r2): the 7 % 4 = 3 tail rows used to be silently
+    # dropped whenever the dataset was >= one batch. Accuracy must be
+    # computed over ALL rows — identical to running everything in one batch.
+    acc_full = evaluate_mc(
+        params, TINY, "mc", str(path), tokenizer=byte_tok, batch_size=7
+    )
+    assert acc == acc_full

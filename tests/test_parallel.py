@@ -256,6 +256,43 @@ class TestShardedCheckpoint:
         restored, loss = _run_steps(restored, step, mesh)
         assert np.isfinite(loss)
 
+    def test_bitnet_fsdp_checkpoint_roundtrip(self, tmp_path):
+        # Regression (ADVICE r2, high): BitNetWeight carried the live
+        # Mesh into the pickle — jax Device objects are unpicklable, so
+        # any bitnet + fsdp>1 run crashed at the first checkpoint save.
+        # BitNetWeight now serializes with mesh=None and resume
+        # re-threads the live mesh via bitnet_fsdp_params.
+        from quantized_training_tpu.parallel import state_shardings
+        from quantized_training_tpu.utils import (
+            load_checkpoint,
+            restore_sharded,
+            save_checkpoint,
+        )
+
+        cfg = dataclasses.replace(TINY, bitnet=True)
+        params = llama.init_params(jax.random.PRNGKey(0), cfg)
+        qparams = quant.quantize_params(params, "bitnet")
+        opt = optim.adamw_bf16_sr(bf16_stochastic_rounding=False)
+        step = make_train_step(cfg, opt, donate=False)
+        mesh = make_mesh({"data": 2, "fsdp": 4})
+        qparams = bitnet_fsdp_params(qparams, mesh)
+        state = shard_state(init_train_state(qparams, opt), mesh)
+        state, _ = _run_steps(state, step, mesh)
+
+        path = tmp_path / "ckpt_0.pkl"
+        save_checkpoint(
+            path, {"state": state, "meta": {"step": 3}}, shard_arrays=True
+        )
+        ckpt = load_checkpoint(path)
+        # serialized wrappers have mesh=None; re-thread the live mesh so
+        # the loaded treedef matches state_shardings' treedef
+        loaded = bitnet_fsdp_params(ckpt["state"], mesh)
+        restored = restore_sharded(loaded, state_shardings(state, mesh))
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        restored, loss = _run_steps(restored, step, mesh)
+        assert np.isfinite(loss)
+
     def test_materialize_full_coverage(self, tmp_path):
         from quantized_training_tpu.utils import (
             load_checkpoint,
