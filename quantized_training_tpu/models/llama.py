@@ -33,7 +33,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 
-from ..quant import qlinear, qlinear_multi
+from ..quant import prequantize_step, qlinear, qlinear_multi
 
 Array = jax.Array
 
@@ -388,6 +388,18 @@ def backbone(params, tokens: Array, cfg: LlamaConfig, key: Array | None = None):
     x = params["embed"]["embedding"][tokens]
     cos, sin = rope_tables(cfg, S)
 
+    # optional (QT_PREQUANT env var, default off): hoist weight
+    # quantization out of the layer loop — int8 mixed-precision weights
+    # pre-quantized ONCE per step instead of per matmul, views entering
+    # the scan as saved inputs so remat never re-quantizes them.
+    # Measured NEUTRAL-TO-NEGATIVE at llama2-1b bs8 on v5e (see
+    # quant/api.py::prequantize_step for the A/B numbers): XLA already
+    # overlaps the per-matmul weight quantizes with MXU work, and both
+    # int8 views together (+2 GB) tip the step into host-offload.
+    layers = prequantize_step(
+        params["layers"], key=jax.random.fold_in(key, 0x5EED)
+    )
+
     layer_body = partial(_decoder_layer, cfg)
     if cfg.remat:
         # per-layer activation checkpointing (llm_pretrain.py:112-113);
@@ -412,7 +424,7 @@ def backbone(params, tokens: Array, cfg: LlamaConfig, key: Array | None = None):
     layer_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
         jnp.arange(cfg.num_hidden_layers)
     )
-    x, _ = jax.lax.scan(scan_fn, x, (params["layers"], layer_keys))
+    x, _ = jax.lax.scan(scan_fn, x, (layers, layer_keys))
 
     return rms_norm(x, params["final_norm"]["g"], cfg.rms_norm_eps)
 

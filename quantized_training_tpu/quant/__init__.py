@@ -8,6 +8,7 @@ from .api import (
     commit_params,
     is_quant_weight,
     merge_masters,
+    prequantize_step,
     qlinear,
     qlinear_multi,
     quantize_params,
@@ -28,7 +29,7 @@ from .core import (
 )
 from .int4 import Int4Weight
 from .int8 import Int8Weight
-from .mixed_precision import MixedPrecisionWeight
+from .mixed_precision import MixedPrecisionWeight, PreQuantMPWeight
 
 __all__ = [
     "qlinear",
@@ -43,6 +44,8 @@ __all__ = [
     "BitNetWeight",
     "BitNetPackedWeight",
     "MixedPrecisionWeight",
+    "PreQuantMPWeight",
+    "prequantize_step",
     "Int8QTConfig",
     "MixedPrecisionConfig",
     "quantize_int8",

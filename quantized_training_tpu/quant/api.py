@@ -44,6 +44,7 @@ QUANT_TYPES = (
     _bitnet.BitNetWeight,
     _bitnet.BitNetPackedWeight,
     _mp.MixedPrecisionWeight,
+    _mp.PreQuantMPWeight,
 )
 
 
@@ -51,9 +52,54 @@ def is_quant_weight(x) -> bool:
     return isinstance(x, QUANT_TYPES)
 
 
+def prequantize_step(params, key: Array | None = None):
+    """Hoist per-matmul weight quantization out of the layer loop.
+
+    Maps every int8 :class:`mixed_precision.MixedPrecisionWeight` in the
+    tree to a :class:`mixed_precision.PreQuantMPWeight` whose row/col int8
+    views are computed ONCE — call this at the top of a training-step
+    forward (models/llama.py::backbone does). Weights are constant within
+    a step, so the dynamic scheme's per-matmul re-quantization (fwd
+    rowwise, fwd-again under remat, bwd colwise) collapses into one fused
+    both-axis pass per weight; gradients still flow to the bf16 master.
+    Other wrapper types and plain arrays pass through unchanged.
+
+    ``QT_PREQUANT`` env var (read at trace time): 'both' pre-quantizes
+    both axes, 'row'/'col' just one, '0' (DEFAULT) disables — per-matmul
+    dynamic quantization.
+
+    Default is OFF because pre-quantization measured NEUTRAL-TO-NEGATIVE
+    on v5e at llama2-1b bs8 seq2048 (2026-08-17 A/B, fresh process per
+    mode): off 1063.7 ms/step, row-only 1067.7, col-only 1070.8, both
+    1159.6 (-9%). The per-matmul weight quantizes the transform removes
+    (~10 ms of HBM passes) were already fully overlapped with MXU work
+    by XLA, so there is nothing to win back — and materializing BOTH
+    int8 views (+2 GB at 1B params) tips the step over a memory cliff
+    (the trace fills with ~460 MB/s async copies, i.e. host offload).
+    The path stays in-tree, tested, for small-model / high-headroom
+    cases and as the measured record.
+    """
+    import os
+
+    mode = os.environ.get("QT_PREQUANT", "0")
+    if mode == "0":
+        return params
+    mode = {"1": "both"}.get(mode, mode)
+    leaves, treedef = jax.tree_util.tree_flatten(
+        params, is_leaf=is_quant_weight
+    )
+    out = []
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, _mp.MixedPrecisionWeight):
+            k = None if key is None else jax.random.fold_in(key, i)
+            leaf = _mp.prequantize_weight(leaf, k, mode=mode)
+        out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def qlinear(x: Array, w, bias: Array | None = None, *, key: Array | None = None):
     """y = x @ w.T + bias, dispatched on the weight wrapper type."""
-    if isinstance(w, _mp.MixedPrecisionWeight):
+    if isinstance(w, (_mp.MixedPrecisionWeight, _mp.PreQuantMPWeight)):
         return _mp.linear(x, w, bias, key=key)
     if isinstance(w, _int8.Int8Weight):
         return _int8.linear(x, w, bias, key=key)
@@ -72,7 +118,10 @@ def qlinear_multi(x: Array, weights, *, key: Array | None = None):
     quantized ONCE for all heads (and once in the backward) —
     quant/mixed_precision.py::linear_shared; other schemes fall back to
     independent :func:`qlinear` calls (per-head subkeys)."""
-    if all(isinstance(w, _mp.MixedPrecisionWeight) for w in weights):
+    if all(
+        isinstance(w, (_mp.MixedPrecisionWeight, _mp.PreQuantMPWeight))
+        for w in weights
+    ):
         return _mp.linear_shared(x, weights, key=key)
     return [
         qlinear(

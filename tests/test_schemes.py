@@ -70,6 +70,85 @@ class TestMixedPrecision:
         assert out.shape == (4, 4, 32)
 
 
+class TestPreQuantizedWeights:
+    """Per-step weight pre-quantization (quant/api.py::prequantize_step):
+    the same quantize of the same weight, hoisted out of the layer loop —
+    output and grads must be BIT-IDENTICAL to the dynamic path (non-SR).
+
+    Default-off: measured neutral-to-negative on v5e at 1B scale (see
+    prequantize_step's docstring); the path stays tested here."""
+
+    @pytest.mark.parametrize(
+        "toggles",
+        [(True, True, True), (True, True, False), (True, False, True),
+         (False, True, True), (True, False, False)],
+    )
+    @pytest.mark.parametrize("mode", ["both", "row", "col"])
+    def test_bitexact_vs_dynamic(self, toggles, mode):
+        from quantized_training_tpu.quant import mixed_precision as mp
+
+        cfg = quant.MixedPrecisionConfig(
+            output=toggles[0], grad_input=toggles[1], grad_weight=toggles[2]
+        )
+        x = jax.random.normal(jax.random.PRNGKey(1), (64, 128), jnp.float32)
+        wd = jax.random.normal(jax.random.PRNGKey(2), (256, 128)) * 0.05
+
+        def loss_dyn(x, wd):
+            return _loss(mp.linear(x, mp.MixedPrecisionWeight(wd, cfg)))
+
+        def loss_pq(x, wd):
+            w = mp.prequantize_weight(
+                mp.MixedPrecisionWeight(wd, cfg), mode=mode
+            )
+            return _loss(mp.linear(x, w))
+
+        np.testing.assert_array_equal(
+            np.asarray(loss_dyn(x, wd)), np.asarray(loss_pq(x, wd))
+        )
+        g1 = jax.grad(loss_dyn, argnums=(0, 1))(x, wd)
+        g2 = jax.grad(loss_pq, argnums=(0, 1))(x, wd)
+        for a, b in zip(g1, g2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_shared_input_bitexact(self):
+        from quantized_training_tpu.quant import mixed_precision as mp
+
+        cfg = quant.MixedPrecisionConfig()
+        x = jax.random.normal(jax.random.PRNGKey(1), (64, 128), jnp.float32)
+        ws = [
+            jax.random.normal(jax.random.PRNGKey(2 + i), (256, 128)) * 0.05
+            for i in range(3)
+        ]
+        dyn = [mp.MixedPrecisionWeight(w, cfg) for w in ws]
+        pq = [mp.prequantize_weight(w) for w in dyn]
+        for od, op in zip(mp.linear_shared(x, dyn), mp.linear_shared(x, pq)):
+            np.testing.assert_array_equal(np.asarray(od), np.asarray(op))
+
+    def test_backbone_env_toggle(self, monkeypatch):
+        """QT_PREQUANT routes the model's scan through the pre-quantized
+        linears; loss stays within bf16 fusion noise of the dynamic path
+        (scan fusion boundaries shift, so bit-exactness is only per-op)."""
+        from quantized_training_tpu.models import llama
+
+        lcfg = llama.LlamaConfig(
+            vocab_size=256, hidden_size=128, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, max_position_embeddings=64, remat=True,
+        )
+        params = llama.init_params(jax.random.PRNGKey(0), lcfg)
+        qp = quant.quantize_params(params, "mixed_precision")
+        toks = jax.random.randint(
+            jax.random.PRNGKey(5), (2, 33), 0, 256, jnp.int32
+        )
+        losses = {}
+        for mode in ["0", "both"]:
+            monkeypatch.setenv("QT_PREQUANT", mode)
+            losses[mode] = float(
+                llama.loss_fn(qp, toks[:, :-1], toks[:, 1:], lcfg)
+            )
+        assert abs(losses["0"] - losses["both"]) < 1e-3, losses
+
+
 class TestInt8QT:
     def _setup(self, activation="none"):
         k1, k2 = jax.random.split(jax.random.PRNGKey(1))
