@@ -7,7 +7,13 @@ implementations: XLA-lowered jnp paths plus Pallas MXU kernels selected via
 
 from ._dispatch import set_backend, use_backend
 from .conv import conv2d, int8_conv2d, scaled_int8_conv2d
-from .fp8 import fp8_mm, quantize_fp8, scaled_fp8_mm
+from .fp8 import (
+    fp8_mm,
+    quantize_fp8,
+    quantize_fp8_block,
+    quantize_fp8_tile,
+    scaled_fp8_mm,
+)
 from .int4_mm import int4_mm, scaled_int4_mm, unpack_int4
 from .mx import (
     dequantize_mxfp4,
@@ -33,6 +39,8 @@ __all__ = [
     "fp8_mm",
     "scaled_fp8_mm",
     "quantize_fp8",
+    "quantize_fp8_tile",
+    "quantize_fp8_block",
     "quantize_mx",
     "quantize_nvfp4",
     "dequantize_mxfp4",

@@ -38,6 +38,40 @@ def quantize_fp8(
     return q, scale.astype(x.dtype)
 
 
+def quantize_fp8_tile(
+    x: Array, *, group: int = 128, dtype=E4M3, eps: float = 1e-12
+) -> tuple[Array, Array]:
+    """DeepSeek-style 1 x ``group`` activation quantization along the
+    contraction (last) axis: x [M, K] -> (fp8 [M, K], scale [M, K/group]).
+
+    The scale layout is exactly what ``scaled_mm``'s tile branch consumes
+    (triton_mm.py:223-342 contract; scaling-book fp8 recipe)."""
+    M, K = x.shape
+    assert K % group == 0, f"K={K} not a multiple of group={group}"
+    xg = x.reshape(M, K // group, group)
+    absmax = jnp.max(jnp.abs(xg), axis=-1, keepdims=True).astype(jnp.float32)
+    scale = absmax / _AMAX[dtype]
+    q = (xg.astype(jnp.float32) / jnp.clip(scale, min=eps)).astype(dtype)
+    return q.reshape(M, K), scale[..., 0].astype(x.dtype)
+
+
+def quantize_fp8_block(
+    x: Array, *, block: int = 128, dtype=E4M3, eps: float = 1e-12
+) -> tuple[Array, Array]:
+    """``block`` x ``block`` weight quantization: x [K, N] -> (fp8 [K, N],
+    scale [K/block, N/block]) — the B-operand layout of the tile-scaled
+    matmul (DeepSeek-V3 recipe: 128x128 weight blocks)."""
+    K, N = x.shape
+    assert K % block == 0 and N % block == 0, (
+        f"[{K},{N}] not a multiple of block={block}"
+    )
+    xb = x.reshape(K // block, block, N // block, block)
+    absmax = jnp.max(jnp.abs(xb), axis=(1, 3), keepdims=True).astype(jnp.float32)
+    scale = absmax / _AMAX[dtype]
+    q = (xb.astype(jnp.float32) / jnp.clip(scale, min=eps)).astype(dtype)
+    return q.reshape(K, N), scale[:, 0, :, 0].astype(x.dtype)
+
+
 def fp8_mm(a: Array, b: Array, *, out_dtype=jnp.bfloat16) -> Array:
     """A[M,K] fp8 @ B[K,N] fp8 -> out_dtype (cutlass_mm.py:36-42)."""
     assert a.dtype in (E4M3, E5M2) and b.dtype in (E4M3, E5M2)

@@ -158,6 +158,11 @@ def scaled_mm_general(
             from . import pallas_mm
 
             return pallas_mm.scaled_mm(a, b, scale_a, scale_b, out_dtype=out_dtype)
+    if a.dtype in _FP8_TYPES:
+        # no fp8 MXU on v5e — upcast for the dot (same fallback as _mm_f32);
+        # on fp8-capable TPUs XLA consumes the fp8 dot directly
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
     acc = jax.lax.dot_general(
         a, b, (((ca,), (cb,)), ((), ())), preferred_element_type=_accum_dtype(a.dtype)
     ).astype(jnp.float32)

@@ -19,7 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.scaled_mm import scaled_mm_general
+from ..ops.scaled_mm import scaled_mm, scaled_mm_general
 from ..ops.int4_mm import scaled_int4_mm
 from .configs import MixedPrecisionConfig
 from .core import quantize_int8, quantize_int8_both, quantize_int4_rowwise_absmax
@@ -83,6 +83,39 @@ def _dynamic_int4_mm(a: Array, b: Array) -> Array:
     return scaled_int4_mm(a_i4, b_t_i4, row_scale, col_scale, out_dtype=a.dtype)
 
 
+def _dynamic_fp8_mm(
+    a: Array, b: Array, scale_mode: str, dims: tuple[int, int]
+) -> Array:
+    """Dynamic FP8 (e4m3) matmul, row- or tile-scaled (BASELINE config #3).
+
+    ``row``: both operands quantized with absmax row scales along the
+    contraction axis (transpose-free, like the int8 path).
+    ``tile``: DeepSeek-V3 layout — A gets 1x128 group scales along K, B
+    128x128 block scales — through ``scaled_mm``'s tile branch. The tile
+    branch takes standard [M,K] @ [K,N] operands, so non-standard
+    contraction dims transpose the BF16 inputs first (fp8 on v5e is a
+    numerics/config surface, not a speed path — no fp8 MXU).
+    """
+    from ..ops.fp8 import quantize_fp8, quantize_fp8_block, quantize_fp8_tile
+
+    K = a.shape[dims[0]]
+    N = b.shape[1 - dims[1]]
+    # tile mode needs K and N to be 128-multiples (128-wide groups /
+    # 128x128 blocks); shapes that aren't — e.g. a sub-128 token count in
+    # grad_weight, where the token dim IS the contraction — degrade to
+    # row scaling for that matmul (static shape branch)
+    if scale_mode == "tile" and K % 128 == 0 and N % 128 == 0:
+        a_std = a if dims[0] == 1 else a.T
+        b_std = b if dims[1] == 0 else b.T
+        a_q, a_s = quantize_fp8_tile(a_std)
+        b_q, b_s = quantize_fp8_block(b_std)
+        return scaled_mm(a_q, b_q, a_s, b_s, out_dtype=a.dtype)
+
+    a_q, a_s = quantize_fp8(a, axis=dims[0])
+    b_q, b_s = quantize_fp8(b, axis=dims[1])
+    return scaled_mm_general(a_q, b_q, a_s, b_s, dims=dims, out_dtype=a.dtype)
+
+
 def _dynamic_mm(
     a: Array,
     b: Array,
@@ -96,6 +129,8 @@ def _dynamic_mm(
         a = a if dims[0] == 1 else a.T
         b = b if dims[1] == 0 else b.T
         return _dynamic_int4_mm(a, b)
+    elif config.dtype == "fp8_e4m3":
+        return _dynamic_fp8_mm(a, b, config.scale, dims)
     raise ValueError(f"unsupported mixed-precision dtype {config.dtype!r}")
 
 
