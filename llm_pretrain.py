@@ -171,7 +171,9 @@ def main() -> None:
     state = init_train_state(qparams, optimizer)
     if mesh is not None:
         state = shard_state(state, mesh)
-    step_fn = make_train_step(cfg, optimizer, clip_grad_norm=args.clip_grad_norm)
+    step_fn = make_train_step(
+        cfg, optimizer, clip_grad_norm=args.clip_grad_norm, mesh=mesh
+    )
 
     save_dir = Path(args.save_dir) / (
         f"{datetime.now().strftime('%Y%m%d_%H%M%S')}_{args.run_name}"

@@ -52,6 +52,21 @@ def batch_spec(mesh: Mesh, ndim: int) -> P:
 
 
 def shard_batch(batch, mesh: Mesh):
+    """Host batch -> device-sharded global batch.
+
+    Single-process: a plain device_put with the batch spec. Multi-process
+    (``jax.distributed``): each process passes its LOCAL slice of the
+    global batch (the loaders' ``process_index``/``process_count``
+    sharding contract) and the global array is assembled from the local
+    slices — the multi-host path of llm_pretrain.py:126-132's DDP setup.
+    """
+    if jax.process_count() > 1:
+        return tuple(
+            jax.make_array_from_process_local_data(
+                NamedSharding(mesh, batch_spec(mesh, x.ndim)), np.asarray(x)
+            )
+            for x in batch
+        )
     return tuple(
         jax.device_put(
             jnp.asarray(x), NamedSharding(mesh, batch_spec(mesh, x.ndim))

@@ -49,6 +49,7 @@ def make_train_step(
     clip_grad_norm: float | None = None,
     donate: bool = True,
     jit_compile: bool = True,
+    mesh=None,
 ):
     """Returns jitted ``step(state, tokens, labels, lr, key) ->
     (state, metrics)``.
@@ -56,6 +57,14 @@ def make_train_step(
     tokens/labels: [B, S] or [accum, B, S] for gradient accumulation
     (micro-steps run under lax.scan; grads are averaged, matching the
     reference's loss.backward() accumulation + mean loss).
+
+    ``mesh``: when given, the output state is sharding-constrained to the
+    FSDP param rule (parallel.state_shardings). Without this XLA may
+    propagate a different layout for small leaves (e.g. stacked [L, D]
+    norm params come back dim-1-sharded), which silently diverges from
+    the layout ``shard_state`` documents — and under a multi-process
+    mesh that breaks the file-per-rank checkpoint restore, whose target
+    shardings come from the param rule.
     """
 
     def train_step(state: TrainState, tokens, labels, lr, key):
@@ -104,7 +113,14 @@ def make_train_step(
         new_params = commit_params(new_v, qparams, jax.random.fold_in(key, 2))
 
         metrics = {"loss": loss, "grad_norm": grad_norm}
-        return TrainState(new_params, new_opt, state.step + 1), metrics
+        new_state = TrainState(new_params, new_opt, state.step + 1)
+        if mesh is not None:
+            from .parallel import state_shardings
+
+            new_state = jax.lax.with_sharding_constraint(
+                new_state, state_shardings(new_state, mesh)
+            )
+        return new_state, metrics
 
     if not jit_compile:  # for embedding into larger jitted programs (bench)
         return train_step

@@ -11,10 +11,14 @@ analog of FSDP's file-per-rank save, llm_pretrain.py:246-247) containing
 ONLY the shards its devices address — a cross-host-sharded FSDP array is
 never gathered (``device_get`` on a non-fully-addressable array raises).
 Such leaves are stored as :class:`ShardedLeaf` (global shape + the local
-``(index, data)`` shard list) and reassembled on load by
-:func:`restore_sharded` via ``jax.make_array_from_single_device_arrays``
-against the restoring job's shardings. Resume assumes the same process
-topology, the standard file-per-rank contract.
+``(index, data)`` shard list, one entry per distinct shard index on this
+process) and reassembled on load by :func:`restore_sharded` via
+``jax.make_array_from_single_device_arrays`` against the restoring job's
+shardings. Each rank's file is self-sufficient for its own devices —
+replicated leaves are stored once per rank, not only on the rank holding
+global replica 0. Resume assumes the same process topology, the standard
+file-per-rank contract; validated end-to-end by a real 2-process
+``jax.distributed`` run in tests/test_multiprocess.py.
 """
 
 from __future__ import annotations
@@ -61,14 +65,21 @@ def _to_numpy(tree, shard_arrays: bool = False):
             return x
         if x.is_fully_addressable and not shard_arrays:
             return np.asarray(jax.device_get(x))
+        # One shard per distinct index among THIS process's devices.
+        # Filtering on global replica_id==0 instead would drop replicated
+        # leaves from every rank but the one holding replica 0, leaving
+        # the other ranks' files unable to restore them (each rank's file
+        # must be self-sufficient for its own devices — file-per-rank
+        # contract).
+        best = {}
+        for s in x.addressable_shards:
+            cur = best.get(s.index)
+            if cur is None or s.replica_id < cur.replica_id:
+                best[s.index] = s
         return ShardedLeaf(
             tuple(x.shape),
             np.dtype(x.dtype).name,
-            [
-                (s.index, np.asarray(s.data))
-                for s in x.addressable_shards
-                if s.replica_id == 0
-            ],
+            [(s.index, np.asarray(s.data)) for s in best.values()],
         )
 
     return jax.tree.map(conv, tree)
