@@ -26,7 +26,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure(cfg, params_host, scheme_kwargs, bs, seq, n_steps=6):
+def measure(cfg, params_host, scheme_kwargs, bs, seq, n_steps=6, accum=1):
     from quantized_training_tpu import optim, quant
     from quantized_training_tpu.train import init_train_state, make_train_step
 
@@ -37,8 +37,13 @@ def measure(cfg, params_host, scheme_kwargs, bs, seq, n_steps=6):
     optimizer = optim.adamw_bf16_sr(bf16_stochastic_rounding=False)
     state = init_train_state(qparams, optimizer)
     step_fn = make_train_step(cfg, optimizer)
+    # accum > 1: [accum, bs, seq] micro-batches through the lax.scan
+    # accumulation path — the apples-to-apples proxy for the reference's
+    # bs16 rows (README.md:125) on an env where a bs16 program itself
+    # exceeds the remote compile helper's limits
+    shape = (accum, bs, seq) if accum > 1 else (bs, seq)
     tokens = jax.random.randint(
-        jax.random.PRNGKey(1), (bs, seq), 0, cfg.vocab_size, jnp.int32
+        jax.random.PRNGKey(1), shape, 0, cfg.vocab_size, jnp.int32
     )
     labels = jnp.roll(tokens, -1, axis=-1)
     key = jax.random.PRNGKey(2)
@@ -53,7 +58,7 @@ def measure(cfg, params_host, scheme_kwargs, bs, seq, n_steps=6):
         ts.append(time.perf_counter() - t0)
     dt = sorted(ts)[len(ts) // 2]
     del state, qparams
-    return bs * seq / dt
+    return accum * bs * seq / dt
 
 
 def main():
@@ -63,6 +68,9 @@ def main():
     parser.add_argument("--seq", type=int, default=2048)
     parser.add_argument("--sr", action="store_true",
                         help="also measure stochastic-rounding variants")
+    parser.add_argument("--accum", type=int, default=1,
+                        help="gradient-accumulation micro-steps (effective "
+                        "batch = accum x bs; 2 x bs8 ~ the reference's bs16)")
     args = parser.parse_args()
 
     from quantized_training_tpu.models import llama
@@ -86,12 +94,13 @@ def main():
         ]
 
     log(f"device: {jax.devices()[0].device_kind}, {args.model} "
-        f"bs={args.bs} seq={args.seq} (reference table: README.md:123-137 on 4070Ti)")
+        f"bs={args.bs} seq={args.seq} accum={args.accum} "
+        f"(reference table: README.md:123-137 on 4070Ti)")
     results = []
     base = None
     for name, kw in rungs:
         try:
-            toks = measure(cfg, params_host, kw, args.bs, args.seq)
+            toks = measure(cfg, params_host, kw, args.bs, args.seq, accum=args.accum)
         except Exception as e:
             log(f"{name}: FAILED {type(e).__name__}: {str(e)[:120]}")
             if kw is None:

@@ -46,6 +46,73 @@ def _fmt_mc(row):
 FORMATS = {"arc": _fmt_arc, "piqa": _fmt_piqa, "mc": _fmt_mc}
 
 
+def int_tokenizer(s: str):
+    """Tokenizer for token-level tasks: the 'text' is space-joined token
+    ids (used by the Markov-chain MC task, which has no surface text)."""
+    return [int(t) for t in s.split()]
+
+
+def generate_markov_mc(
+    out_path: str,
+    n_rows: int = 400,
+    prompt_len: int = 48,
+    cont_len: int = 8,
+    n_choices: int = 4,
+    seed: int = 2024,
+    vocab_size: int = 32000,
+    n_states: int = 2048,
+    branching: int = 8,
+) -> str:
+    """Write an 'mc'-format jsonl task derived from the SAME Markov chain
+    the convergence runs train on (data.MarkovTokenDataset, eval split).
+
+    Each row: prompt = a sampled trajectory prefix; gold choice = its
+    true sampled continuation; distractors = true continuations of OTHER
+    rows (valid chain fragments that don't follow from this prompt's
+    final state). A model trained on the chain scores far above the
+    1/n_choices floor; an untrained model sits at it. This is the
+    zero-egress stand-in for the north star's "hellaswag accuracy within
+    the reference's int8 delta" clause — same scoring recipe
+    (min-summed-continuation-CE), locally generatable labels.
+    """
+    from quantized_training_tpu.data.text import MarkovTokenDataset
+
+    ds = MarkovTokenDataset(
+        seq_len=prompt_len + cont_len,
+        vocab_size=vocab_size,
+        n_states=n_states,
+        branching=branching,
+        eval=True,
+        seed=seed,
+        n_samples=n_rows,
+    )
+    samples = [tok for tok, _ in ds]
+    rng = np.random.Generator(np.random.PCG64([seed, 0x4D43]))  # "MC"
+    rows = []
+    for i, toks in enumerate(samples):
+        prompt = toks[:prompt_len]
+        gold_cont = toks[prompt_len:]
+        # distractors: continuations of n_choices-1 OTHER rows
+        others = rng.choice(
+            [j for j in range(n_rows) if j != i], n_choices - 1, replace=False
+        )
+        conts = [gold_cont] + [samples[j][prompt_len:] for j in others]
+        order = rng.permutation(n_choices)
+        rows.append(
+            {
+                "ctx": " ".join(map(str, prompt)),
+                "choices": [
+                    " " + " ".join(map(str, conts[k])) for k in order
+                ],
+                "gold": int(np.argwhere(order == 0)[0, 0]),
+            }
+        )
+    with open(out_path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return out_path
+
+
 def load_rows(data_path: str):
     with open(data_path) as f:
         return [json.loads(line) for line in f if line.strip()]
@@ -129,7 +196,10 @@ def evaluate_mc(
     rows = load_rows(data_path)
     if max_rows is not None:
         rows = rows[:max_rows]
-    tok = get_tokenizer(tokenizer) if isinstance(tokenizer, str) else tokenizer
+    if tokenizer == "ints":
+        tok = int_tokenizer
+    else:
+        tok = get_tokenizer(tokenizer) if isinstance(tokenizer, str) else tokenizer
     tokens, score_mask, gold, valid = tokenize_mc(rows, FORMATS[task], tok)
 
     predict = make_predict(cfg)
@@ -151,3 +221,28 @@ def evaluate_mc(
         preds = np.asarray(preds)[: sl.stop - sl.start]
         n_correct += int((preds == gold[sl]).sum())
     return n_correct / max(n, 1)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    # generation is pure numpy — never touch the (possibly busy) TPU
+    jax.config.update("jax_platforms", "cpu")
+
+    p = argparse.ArgumentParser(
+        description="Generate the Markov-chain MC task (writes 'mc' jsonl; "
+        "evaluate with llm_evaluate.py --tasks mc --task_data <path> "
+        "--hellaswag_tokenizer ints)"
+    )
+    p.add_argument("out_path")
+    p.add_argument("--n_rows", type=int, default=400)
+    p.add_argument("--prompt_len", type=int, default=48)
+    p.add_argument("--cont_len", type=int, default=8)
+    p.add_argument("--n_choices", type=int, default=4)
+    p.add_argument("--seed", type=int, default=2024)
+    p.add_argument("--vocab_size", type=int, default=32000)
+    p.add_argument("--n_states", type=int, default=2048)
+    p.add_argument("--branching", type=int, default=8)
+    a = p.parse_args()
+    path = generate_markov_mc(**vars(a))
+    print(f"wrote {a.n_rows} rows to {path}")

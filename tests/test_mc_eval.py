@@ -100,3 +100,54 @@ def test_evaluate_mc_end_to_end(tmp_path):
         params, TINY, "mc", str(path), tokenizer=byte_tok, batch_size=7
     )
     assert acc == acc_full
+
+
+def test_markov_mc_generation_and_learnability(tmp_path):
+    """The generated Markov MC task is solvable by a model trained on the
+    chain and at the chance floor for an untrained one — the property the
+    accuracy-parity runs (README convergence section) rely on."""
+    from mc_eval import generate_markov_mc
+
+    path = str(tmp_path / "markov_mc.jsonl")
+    generate_markov_mc(
+        path, n_rows=24, prompt_len=12, cont_len=4, n_choices=4,
+        vocab_size=TINY.vocab_size, n_states=64, branching=4,
+    )
+    rows = [json.loads(l) for l in open(path)]
+    assert len(rows) == 24
+    assert all(len(r["choices"]) == 4 for r in rows)
+    assert all(0 <= r["gold"] < 4 for r in rows)
+
+    # train a tiny model on the SAME chain for a few hundred steps
+    from quantized_training_tpu import optim, quant
+    from quantized_training_tpu.data.text import MarkovTokenDataset
+    from quantized_training_tpu.data import BatchLoader
+    from quantized_training_tpu.train import init_train_state, make_train_step
+
+    ds = MarkovTokenDataset(
+        seq_len=32, vocab_size=TINY.vocab_size, n_states=64, branching=4
+    )
+    loader = iter(BatchLoader(ds, batch_size=16))
+    params = llama.init_params(jax.random.PRNGKey(0), TINY)
+    qparams = quant.quantize_params(params, "mixed_precision")
+    opt = optim.adamw_bf16_sr(bf16_stochastic_rounding=False)
+    state = init_train_state(qparams, opt)
+    step = make_train_step(TINY, opt, donate=False)
+    for i in range(300):
+        tok, lab = next(loader)
+        state, metrics = step(
+            state, jnp.asarray(tok), jnp.asarray(lab), 3e-3,
+            jax.random.PRNGKey(i),
+        )
+
+    acc_untrained = evaluate_mc(
+        params, TINY, "mc", path, tokenizer="ints", batch_size=8
+    )
+    trained = quant.merge_masters(
+        quant.virtual_params(state.params), state.params
+    )
+    acc_trained = evaluate_mc(
+        trained, TINY, "mc", path, tokenizer="ints", batch_size=8
+    )
+    assert acc_untrained < 0.6  # near the 0.25 chance floor
+    assert acc_trained >= 0.75, (acc_untrained, acc_trained)
