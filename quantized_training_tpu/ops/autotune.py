@@ -34,6 +34,7 @@ TUNED_DIR = Path(__file__).parent / "tuned"
 _DEFAULTS = {
     "scaled_mm": (1024, 256, 2048),
     "tile_scaled_mm": (256, 256, 0),  # bk unused (derived from quant blocks)
+    "scaled_int4_mm": (512, 512, 1024),  # bk counts PACKED columns
     "matmul": (256, 256, 512),
 }
 
@@ -197,6 +198,89 @@ def sweep_scaled_mm(M: int, K: int, N: int, dtype="int8", verbose=True):
     return results[0][0], results[0][1], results
 
 
+def sweep_tile_scaled_mm(M: int, K: int, N: int, qk: int = 128, verbose=True):
+    """Block sweep for the DeepSeek-style tile-scaled GEMM (int8 operands,
+    1 x qk A-scales, qk x qk B-blocks). bk is derived in-kernel from the
+    quant-block unroll, so the sweep covers (bm, bn) only."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import pallas_mm
+
+    kx, kw = jax.random.split(jax.random.PRNGKey(0))
+    a = jax.random.randint(kx, (M, K), -128, 128, jnp.int8)
+    b = jax.random.randint(kw, (K, N), -128, 128, jnp.int8)
+    sa = jnp.ones((M, K // qk), jnp.float32)
+    sb = jnp.ones((K // qk, N // qk), jnp.float32)
+
+    results = []
+    for bm in (256, 512, 1024):
+        if bm > max(M, 256):
+            continue
+        for bn in (256, 512, 1024):
+            if bn > max(N, 256):
+                continue
+            fn = lambda a_, b_: pallas_mm.tile_scaled_mm(
+                a_, b_, sa, sb, block_m=bm, block_n=bn
+            )
+            try:
+                tf = _time_config(fn, (a, b), 2.0 * M * K * N)
+            except Exception as e:
+                if verbose:
+                    print(f"  {bm}x{bn}: FAIL {type(e).__name__}", file=sys.stderr)
+                continue
+            results.append(((bm, bn, 0), tf))
+            if verbose:
+                print(f"  {bm}x{bn}: {tf:.1f} TFLOPS", file=sys.stderr)
+    results.sort(key=lambda r: -r[1])
+    return results[0][0], results[0][1], results
+
+
+def sweep_scaled_int4_mm(M: int, K: int, N: int, verbose=True):
+    """Block sweep for the packed-INT4 GEMM (operands stay 4-bit through
+    HBM; block_k counts PACKED columns)."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import pallas_mm
+
+    kx, kw = jax.random.split(jax.random.PRNGKey(0))
+    a_packed = jax.random.randint(kx, (M, K // 2), 0, 256, jnp.int32).astype(jnp.uint8)
+    b_packed = jax.random.randint(kw, (N, K // 2), 0, 256, jnp.int32).astype(jnp.uint8)
+    rs = jnp.ones((M,), jnp.float32)
+    cs = jnp.ones((N,), jnp.float32)
+
+    results = []
+    for bm in (512, 1024, 2048):
+        if bm > max(M, 512):
+            continue
+        for bn in (256, 512, 1024):
+            if bn > max(N, 256):
+                continue
+            for bk in (512, 1024, 2048):
+                if bk > K // 2:
+                    continue
+                # packed a/b blocks + unpacked halves in registers
+                working = 2 * (bm * bk + bk * bn) + 4 * bm * bn
+                if working > _VMEM_BUDGET:
+                    continue
+                fn = lambda a_, b_: pallas_mm.scaled_int4_mm(
+                    a_, b_, rs, cs, block_m=bm, block_n=bn, block_k=bk
+                )
+                try:
+                    tf = _time_config(fn, (a_packed, b_packed), 2.0 * M * K * N)
+                except Exception as e:
+                    if verbose:
+                        print(f"  {bm}x{bn}x{bk}: FAIL {type(e).__name__}",
+                              file=sys.stderr)
+                    continue
+                results.append(((bm, bn, bk), tf))
+                if verbose:
+                    print(f"  {bm}x{bn}x{bk}: {tf:.1f} TFLOPS", file=sys.stderr)
+    results.sort(key=lambda r: -r[1])
+    return results[0][0], results[0][1], results
+
+
 def save_entry(kernel: str, dtype: str, M: int, K: int, N: int, blocks, tflops,
                xla_tflops: float | None = None):
     key = _device_key()
@@ -270,22 +354,36 @@ def main(argv=None):
     p.add_argument("--sizes", type=int, nargs="*", default=[])
     p.add_argument("--train-shapes", action="store_true")
     p.add_argument("--dtype", default="int8")
+    p.add_argument(
+        "--kernel", default="scaled_mm",
+        choices=("scaled_mm", "tile_scaled_mm", "scaled_int4_mm"),
+    )
     args = p.parse_args(argv)
 
     shapes = [(n, n, n) for n in args.sizes]
     if args.train_shapes:
         shapes += TRAIN_SHAPES
     for M, K, N in shapes:
-        print(f"scaled_mm {args.dtype} [{M},{K}]x[{K},{N}]:", file=sys.stderr)
-        xla_tf = measure_xla_scaled(M, K, N, args.dtype)
-        print(f"  xla: {xla_tf:.1f} TFLOPS", file=sys.stderr)
-        blocks, tf, _ = sweep_scaled_mm(M, K, N, args.dtype)
-        save_entry("scaled_mm", args.dtype, M, K, N, blocks, tf, xla_tflops=xla_tf)
-        print(
-            f"BEST {M}x{K}x{N}: {blocks} @ {tf:.1f} TFLOPS "
-            f"(xla {xla_tf:.1f} -> {'PALLAS' if tf > xla_tf * 1.03 else 'XLA'})",
-            file=sys.stderr,
-        )
+        print(f"{args.kernel} {args.dtype} [{M},{K}]x[{K},{N}]:", file=sys.stderr)
+        if args.kernel == "scaled_mm":
+            xla_tf = measure_xla_scaled(M, K, N, args.dtype)
+            print(f"  xla: {xla_tf:.1f} TFLOPS", file=sys.stderr)
+            blocks, tf, _ = sweep_scaled_mm(M, K, N, args.dtype)
+            save_entry("scaled_mm", args.dtype, M, K, N, blocks, tf,
+                       xla_tflops=xla_tf)
+            print(
+                f"BEST {M}x{K}x{N}: {blocks} @ {tf:.1f} TFLOPS "
+                f"(xla {xla_tf:.1f} -> {'PALLAS' if tf > xla_tf * 1.03 else 'XLA'})",
+                file=sys.stderr,
+            )
+            continue
+        if args.kernel == "tile_scaled_mm":
+            blocks, tf, _ = sweep_tile_scaled_mm(M, K, N)
+            save_entry("tile_scaled_mm", "int8", M, K, N, blocks, tf)
+        else:
+            blocks, tf, _ = sweep_scaled_int4_mm(M, K, N)
+            save_entry("scaled_int4_mm", "uint8", M, K, N, blocks, tf)
+        print(f"BEST {M}x{K}x{N}: {blocks} @ {tf:.1f} TFLOPS", file=sys.stderr)
 
 
 if __name__ == "__main__":

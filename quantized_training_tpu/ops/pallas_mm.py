@@ -211,8 +211,8 @@ def tile_scaled_mm(
     scale_b: Array,
     *,
     out_dtype=jnp.bfloat16,
-    block_m: int = 256,
-    block_n: int = 256,
+    block_m: int | None = None,
+    block_n: int | None = None,
     interpret: bool = False,
 ) -> Array:
     """Tile-scaled matmul: scale_a [M/QM, K/QK], scale_b [K/QK, N/QN].
@@ -220,10 +220,17 @@ def tile_scaled_mm(
     Each K grid step covers up to 16 quant blocks (unrolled in-kernel with
     per-block rescale). Row/col-expanded scale grids ([M, K/QK] and
     [K/QK, N] fp32) are materialized by the wrapper — a few hundred KB at
-    LLM shapes.
+    LLM shapes. Blocks not passed explicitly resolve through the autotune
+    cache (ops/autotune.py) with a (256, 256) fallback.
     """
     M, K = a.shape
     N = b.shape[1]
+    if block_m is None or block_n is None:
+        from .autotune import lookup
+
+        tm, tn, _ = lookup("tile_scaled_mm", M, K, N, a.dtype)
+        block_m = block_m or tm
+        block_n = block_n or tn
     n_qm, n_qk = scale_a.shape
     n_qk2, n_qn = scale_b.shape
     assert n_qk == n_qk2 and K % n_qk == 0
@@ -398,19 +405,26 @@ def scaled_int4_mm(
     col_scale: Array,
     *,
     out_dtype=jnp.bfloat16,
-    block_m: int = 512,
-    block_n: int = 512,
-    block_k: int = 1024,
+    block_m: int | None = None,
+    block_n: int | None = None,
+    block_k: int | None = None,
     interpret: bool = False,
 ) -> Array:
     """A_packed [M, K//2] @ unpack(B_t_packed [N, K//2]).T with fused
     row x col fp32 scale epilogue; operands cross HBM packed (4 bits/elem).
 
     ``block_k`` counts PACKED columns (logical K block = 2 * block_k).
+    Blocks not passed explicitly resolve through the autotune cache with
+    a (512, 512, 1024) fallback.
     """
     M, Kp = a_packed.shape
     N = b_t_packed.shape[0]
     assert b_t_packed.shape[1] == Kp
+    if block_m is None or block_n is None or block_k is None:
+        from .autotune import lookup
+
+        tm, tn, tk = lookup("scaled_int4_mm", M, 2 * Kp, N, a_packed.dtype)
+        block_m, block_n, block_k = block_m or tm, block_n or tn, block_k or tk
 
     sa = jnp.broadcast_to(
         jnp.reshape(row_scale.astype(jnp.float32), (-1, 1)), (M, 1)
