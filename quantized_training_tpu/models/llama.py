@@ -33,7 +33,13 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 
-from ..quant import prequantize_step, qlinear, qlinear_multi
+from ..quant import (
+    norm_linear_multi,
+    prequantize_step,
+    qlinear,
+    qlinear_multi,
+    silu_mul_linear,
+)
 
 Array = jax.Array
 
@@ -319,12 +325,13 @@ def _qkv_part(cfg: LlamaConfig, x, lp, cos, sin, key):
 
     B, S, _ = x.shape
     H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    h = rms_norm(x, lp["attn_norm"]["g"], cfg.rms_norm_eps)
-    # shared-input multi-linear: h is dynamically quantized once for all
-    # three projections (fwd AND bwd) instead of once per matmul
-    q, k, v = qlinear_multi(
-        h, [lp["q"]["w"], lp["k"]["w"], lp["v"]["w"]],
-        key=jax.random.fold_in(key, 0),
+    # shared-input multi-linear with the norm FUSED into the input
+    # quantize (all-int8 configs on TPU): h is quantized once for all
+    # three projections and the bf16 norm output never hits HBM;
+    # other schemes take the identical unfused rms_norm + qlinear_multi
+    q, k, v = norm_linear_multi(
+        x, lp["attn_norm"]["g"], [lp["q"]["w"], lp["k"]["w"], lp["v"]["w"]],
+        cfg.rms_norm_eps, key=jax.random.fold_in(key, 0),
     )
     q = q.reshape(B, S, H, hd)
     k = k.reshape(B, S, KV, hd)
@@ -349,12 +356,16 @@ def _post_attn_part(cfg: LlamaConfig, x, ctx, lp, key):
         ctx = rms_norm(ctx, lp["o_norm"]["g"], cfg.rms_norm_eps)
     x = x + qlinear(ctx, lp["o"]["w"], key=lkey(3))
 
-    h = rms_norm(x, lp["mlp_norm"]["g"], cfg.rms_norm_eps)
-    gate, up = qlinear_multi(h, [lp["gate"]["w"], lp["up"]["w"]], key=lkey(4))
-    act = jax.nn.silu(gate) * up
+    gate, up = norm_linear_multi(
+        x, lp["mlp_norm"]["g"], [lp["gate"]["w"], lp["up"]["w"]],
+        cfg.rms_norm_eps, key=lkey(4),
+    )
     if cfg.bitnet:
+        act = jax.nn.silu(gate) * up
         act = rms_norm(act, lp["down_norm"]["g"], cfg.rms_norm_eps)
-    return x + qlinear(act, lp["down"]["w"], key=lkey(6))
+        return x + qlinear(act, lp["down"]["w"], key=lkey(6))
+    # silu(gate)*up fused into the down-projection's input quantize
+    return x + silu_mul_linear(gate, up, lp["down"]["w"], key=lkey(6))
 
 
 def _decoder_layer(cfg: LlamaConfig, x, lp, cos, sin, key):

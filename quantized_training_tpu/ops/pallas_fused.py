@@ -1,0 +1,406 @@
+"""Fused producer->INT8-quantize Pallas kernels (VERDICT r3 item 1c).
+
+In the all-INT8 mixed-precision step every quantized linear's input is
+produced by a cheap elementwise op — RMSNorm (qkv and gate/up inputs) or
+silu(gate)*up (down-proj input) — then materialized in bf16 and re-read
+by a separate quantize kernel, in the forward AND again in the remat
+recompute, plus a third colwise read for grad_weight. A pallas_call is a
+custom call XLA cannot fuse into, so that bf16 round-trip is structural,
+not a missed fusion. These kernels put the producer INSIDE the quantize:
+
+  rmsnorm_quant_rowwise   x [M,K], g [K] -> (q int8 [M,K], s [M,1])
+      one HBM read of x, int8 write — the bf16 norm output never exists.
+  rmsnorm_quant_colwise   two passes over x (col absmax needs all rows),
+      still never materializes the bf16 norm output.
+  silu_mul_quant_rowwise  a,b [M,K] -> quantize(silu(a)*b) rowwise
+  silu_mul_quant_colwise  two-pass colwise variant
+
+Per llama2-1b layer at bs8 seq2048 this removes ~1 GB of HBM traffic
+(norm/mul writes + quantize re-reads) from the int8 step — traffic the
+bf16 baseline never pays, so it directly closes the INT8-vs-BF16 ratio
+(the reference hits its ratio with unfused quantizes because its GPU
+baseline is comparatively weaker, README.md:123-137; on TPU the quantize
+overhead is the ratio's denominator).
+
+Numerics: the fused quantize sees the producer's UNROUNDED fp32 values
+(oracles :func:`rms_norm_f32` / :func:`silu_mul_f32`) — one fewer
+rounding than the unfused bf16 materialization, and well-defined in a
+kernel (a compiler may elide bf16 round-trips on values that never hit
+memory). The quantize itself matches quant.core.quantize_int8
+(absmax/127 fp32 scale, round-half-even, subclasses/int8.py:13-26); int8
+outputs vs the bf16-materialized composite differ by at most 1 LSB.
+Stochastic rounding uses the in-kernel TPU PRNG exactly like
+ops/pallas_quant.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_quant import (
+    _EPS,
+    _as_seed,
+    _block_seed,
+    _inv_scale,
+    _pick_block,
+    _round_op,
+    _seed_spec,
+)
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# jnp oracles (reference semantics; also the CPU fallback path)
+# ---------------------------------------------------------------------------
+
+
+def rms_norm_ref(x: Array, g: Array, eps: float) -> Array:
+    """fp32 math, weight applied in the input dtype (models.llama.rms_norm)."""
+    xf = x.astype(jnp.float32)
+    xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return xf.astype(x.dtype) * g
+
+
+def rms_norm_f32(x: Array, g: Array, eps: float) -> Array:
+    """The fused kernels' producer semantics: everything in fp32, no
+    intermediate rounding (see _norm_block)."""
+    xf = x.astype(jnp.float32)
+    rstd = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return xf * rstd * g.astype(jnp.float32)
+
+
+def silu_mul_ref(a: Array, b: Array) -> Array:
+    """silu(a) * b with fp32 silu math, product in the input dtype."""
+    af = a.astype(jnp.float32)
+    return (af * jax.nn.sigmoid(af)).astype(a.dtype) * b
+
+
+def silu_mul_f32(a: Array, b: Array) -> Array:
+    """The fused kernels' producer semantics (fp32 throughout)."""
+    af = a.astype(jnp.float32)
+    return af * jax.nn.sigmoid(af) * b.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel producer bodies (operate on f32 blocks, return values in x dtype)
+# ---------------------------------------------------------------------------
+
+
+def _norm_block(x_ref, g_ref, eps):
+    """fp32 norm values — the fused quantize sees the UNROUNDED producer
+    output (one fewer rounding than the unfused bf16 materialization; the
+    intermediate bf16 cast cannot be relied on inside a kernel anyway —
+    compilers legally elide convert round-trips on values that never hit
+    memory). Oracle: quantize_int8(rms_norm computed in fp32)."""
+    xf = x_ref[:].astype(jnp.float32)
+    rstd = jax.lax.rsqrt(jnp.mean(xf * xf, axis=1, keepdims=True) + eps)
+    return xf * rstd * g_ref[:].astype(jnp.float32)
+
+
+def _silu_mul_block(a_ref, b_ref):
+    af = a_ref[:].astype(jnp.float32)
+    return af * jax.nn.sigmoid(af) * b_ref[:].astype(jnp.float32)
+
+
+def _quant_row_block(y, seed_ref, q_ref, s_ref, *, eps, sr, pid):
+    if sr:
+        pltpu.prng_seed(_block_seed(seed_ref, pid))
+    yf = y.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(yf), axis=1, keepdims=True)
+    scale = absmax * (1.0 / 127.0)
+    q = _round_op(yf * _inv_scale(scale, eps), sr)
+    q_ref[:] = jnp.clip(q, -128, 127).astype(jnp.int8)
+    s_ref[:] = scale
+
+
+# ---------------------------------------------------------------------------
+# rmsnorm -> rowwise int8
+# ---------------------------------------------------------------------------
+
+
+def _make_norm_row_kernel(norm_eps, eps, sr):
+    def kernel(x_ref, g_ref, seed_ref, q_ref, s_ref):
+        y = _norm_block(x_ref, g_ref, norm_eps)
+        _quant_row_block(y, seed_ref, q_ref, s_ref, eps=eps, sr=sr,
+                         pid=pl.program_id(0))
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("norm_eps", "eps", "sr", "interpret")
+)
+def rmsnorm_quant_rowwise(
+    x: Array,
+    g: Array,
+    seed: Array | None = None,
+    *,
+    norm_eps: float = 1e-5,
+    eps: float = _EPS,
+    sr: bool = False,
+    interpret: bool = False,
+):
+    """quantize_int8(rms_norm(x, g), axis=1) in ONE HBM read of x.
+
+    x [M, K] (rows fully resident per block — K must fit the VMEM block
+    budget; callers check :func:`supported`), g [K].
+    Returns (q int8 [M,K], scale f32 [M,1]).
+    """
+    M, K = x.shape
+    seed = _as_seed(seed)
+    bm = _pick_block(M, K, elem_bytes=x.dtype.itemsize)
+    if bm is None:
+        raise ValueError(f"no row blocks for shape {x.shape}")
+    q, s = pl.pallas_call(
+        _make_norm_row_kernel(norm_eps, eps, sr),
+        grid=(M // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            _seed_spec(),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, K), jnp.int8),
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, g, seed)
+    return q, s
+
+
+# ---------------------------------------------------------------------------
+# rmsnorm -> colwise int8 (2 passes; never materializes the norm output)
+# ---------------------------------------------------------------------------
+
+
+def _make_norm_col_amax_kernel(norm_eps):
+    def kernel(x_ref, g_ref, amax_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            amax_ref[:] = jnp.zeros_like(amax_ref)
+
+        y = _norm_block(x_ref, g_ref, norm_eps)
+        amax_ref[:] = jnp.maximum(
+            amax_ref[:], jnp.max(jnp.abs(y), axis=0, keepdims=True)
+        )
+
+    return kernel
+
+
+def _make_norm_col_scale_kernel(norm_eps, eps, sr):
+    def kernel(x_ref, g_ref, seed_ref, s_ref, q_ref):
+        if sr:
+            pltpu.prng_seed(
+                _block_seed(seed_ref, pl.program_id(0), jnp.int32(11))
+            )
+        y = _norm_block(x_ref, g_ref, norm_eps)
+        q = _round_op(y * _inv_scale(s_ref[:], eps), sr)
+        q_ref[:] = jnp.clip(q, -128, 127).astype(jnp.int8)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("norm_eps", "eps", "sr", "interpret")
+)
+def rmsnorm_quant_colwise(
+    x: Array,
+    g: Array,
+    seed: Array | None = None,
+    *,
+    norm_eps: float = 1e-5,
+    eps: float = _EPS,
+    sr: bool = False,
+    interpret: bool = False,
+):
+    """quantize_int8(rms_norm(x, g), axis=0) in TWO HBM reads of x.
+
+    Returns (q int8 [M,K], scale f32 [1,K])."""
+    M, K = x.shape
+    seed = _as_seed(seed)
+    bm = _pick_block(M, K, elem_bytes=x.dtype.itemsize)
+    if bm is None:
+        raise ValueError(f"no row blocks for shape {x.shape}")
+    amax = pl.pallas_call(
+        _make_norm_col_amax_kernel(norm_eps),
+        grid=(M // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, K), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(x, g)
+    scale = amax * (1.0 / 127.0)
+    q = pl.pallas_call(
+        _make_norm_col_scale_kernel(norm_eps, eps, sr),
+        grid=(M // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            _seed_spec(),
+            pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, K), jnp.int8),
+        interpret=interpret,
+    )(x, g, seed, scale)
+    return q, scale
+
+
+# ---------------------------------------------------------------------------
+# silu(a)*b -> rowwise / colwise int8
+# ---------------------------------------------------------------------------
+
+
+def _make_silu_row_kernel(eps, sr):
+    def kernel(a_ref, b_ref, seed_ref, q_ref, s_ref):
+        y = _silu_mul_block(a_ref, b_ref)
+        _quant_row_block(y, seed_ref, q_ref, s_ref, eps=eps, sr=sr,
+                         pid=pl.program_id(0))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "sr", "interpret"))
+def silu_mul_quant_rowwise(
+    a: Array,
+    b: Array,
+    seed: Array | None = None,
+    *,
+    eps: float = _EPS,
+    sr: bool = False,
+    interpret: bool = False,
+):
+    """quantize_int8(silu(a) * b, axis=1) reading a and b ONCE.
+
+    a, b [M, K]; returns (q int8 [M,K], scale f32 [M,1])."""
+    M, K = a.shape
+    seed = _as_seed(seed)
+    # two resident input blocks -> account double the bytes per element
+    bm = _pick_block(M, K, elem_bytes=2 * a.dtype.itemsize)
+    if bm is None:
+        raise ValueError(f"no row blocks for shape {a.shape}")
+    q, s = pl.pallas_call(
+        _make_silu_row_kernel(eps, sr),
+        grid=(M // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _seed_spec(),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, K), jnp.int8),
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(a, b, seed)
+    return q, s
+
+
+def _make_silu_col_amax_kernel():
+    def kernel(a_ref, b_ref, amax_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            amax_ref[:] = jnp.zeros_like(amax_ref)
+
+        y = _silu_mul_block(a_ref, b_ref)
+        amax_ref[:] = jnp.maximum(
+            amax_ref[:], jnp.max(jnp.abs(y), axis=0, keepdims=True)
+        )
+
+    return kernel
+
+
+def _make_silu_col_scale_kernel(eps, sr):
+    def kernel(a_ref, b_ref, seed_ref, s_ref, q_ref):
+        if sr:
+            pltpu.prng_seed(
+                _block_seed(seed_ref, pl.program_id(0), jnp.int32(13))
+            )
+        y = _silu_mul_block(a_ref, b_ref)
+        q = _round_op(y * _inv_scale(s_ref[:], eps), sr)
+        q_ref[:] = jnp.clip(q, -128, 127).astype(jnp.int8)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "sr", "interpret"))
+def silu_mul_quant_colwise(
+    a: Array,
+    b: Array,
+    seed: Array | None = None,
+    *,
+    eps: float = _EPS,
+    sr: bool = False,
+    interpret: bool = False,
+):
+    """quantize_int8(silu(a) * b, axis=0) in two reads of (a, b).
+
+    Returns (q int8 [M,K], scale f32 [1,K])."""
+    M, K = a.shape
+    seed = _as_seed(seed)
+    bm = _pick_block(M, K, elem_bytes=2 * a.dtype.itemsize)
+    if bm is None:
+        raise ValueError(f"no row blocks for shape {a.shape}")
+    amax = pl.pallas_call(
+        _make_silu_col_amax_kernel(),
+        grid=(M // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, K), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(a, b)
+    scale = amax * (1.0 / 127.0)
+    q = pl.pallas_call(
+        _make_silu_col_scale_kernel(eps, sr),
+        grid=(M // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _seed_spec(),
+            pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, K), jnp.int8),
+        interpret=interpret,
+    )(a, b, seed, scale)
+    return q, scale
+
+
+def supported(M: int, K: int, dtype, n_inputs: int = 1) -> bool:
+    """Whether the fused kernels can take [M, K] inputs of ``dtype``."""
+    if dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    if M < 32 or K < 128 or K % 128:
+        return False
+    eb = n_inputs * jnp.dtype(dtype).itemsize
+    return _pick_block(M, K, elem_bytes=eb) is not None

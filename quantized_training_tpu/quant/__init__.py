@@ -15,6 +15,7 @@ from .api import (
     virtual_params,
 )
 from .bitnet import BitNetPackedWeight, BitNetWeight
+from .fused import norm_linear_multi, silu_mul_linear
 from .configs import Int8QTConfig, MixedPrecisionConfig
 from .core import (
     bf16_stochastic_round,
@@ -34,6 +35,8 @@ from .mixed_precision import MixedPrecisionWeight, PreQuantMPWeight
 __all__ = [
     "qlinear",
     "qlinear_multi",
+    "norm_linear_multi",
+    "silu_mul_linear",
     "quantize_params",
     "virtual_params",
     "merge_masters",

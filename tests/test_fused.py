@@ -1,0 +1,249 @@
+"""Producer-fused quantize kernels + custom_vjp linears (quant/fused.py).
+
+Kernel oracles follow the test_pallas_quant.py convention: the in-kernel
+multiply-by-reciprocal vs the oracle's divide may flip round-half-even by
+1 LSB on rare elements, so int8 outputs match within <=1 with low
+frequency and scales match tightly.
+"""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from quantized_training_tpu import quant
+from quantized_training_tpu.models import llama
+from quantized_training_tpu.ops import pallas_fused as pf
+from quantized_training_tpu.quant import fused
+from quantized_training_tpu.quant.core import quantize_int8
+
+EPS = 1e-5
+
+
+def _mk(shape, seed, dtype=jnp.bfloat16):
+    return jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32).astype(
+        dtype
+    )
+
+
+def _q_close(q, q_ref, frac=0.02):
+    d = np.abs(np.asarray(q, np.int32) - np.asarray(q_ref, np.int32))
+    assert d.max() <= 1
+    assert (d > 0).mean() < frac
+
+
+@pytest.mark.parametrize("M,K", [(256, 256), (128, 640)])
+def test_rmsnorm_quant_rowwise_oracle(M, K):
+    x = _mk((M, K), 0)
+    g = (1 + 0.1 * _mk((K,), 1, jnp.float32)).astype(jnp.bfloat16)
+    y_ref = pf.rms_norm_f32(x, g, EPS)
+    q_ref, s_ref = quantize_int8(y_ref, axis=1)
+    q, s = pf.rmsnorm_quant_rowwise(
+        x, g.reshape(1, -1), norm_eps=EPS, interpret=True
+    )
+    _q_close(q, q_ref)
+    np.testing.assert_allclose(
+        np.asarray(s).ravel(),
+        np.asarray(s_ref, np.float32).ravel(),
+        rtol=1e-2,
+    )
+
+
+def test_rmsnorm_quant_colwise_oracle():
+    x = _mk((256, 384), 2)
+    g = (1 + 0.1 * _mk((384,), 3, jnp.float32)).astype(jnp.bfloat16)
+    y_ref = pf.rms_norm_f32(x, g, EPS)
+    q_ref, s_ref = quantize_int8(y_ref, axis=0)
+    q, s = pf.rmsnorm_quant_colwise(
+        x, g.reshape(1, -1), norm_eps=EPS, interpret=True
+    )
+    _q_close(q, q_ref)
+    np.testing.assert_allclose(
+        np.asarray(s).ravel(),
+        np.asarray(s_ref, np.float32).ravel(),
+        rtol=1e-2,
+    )
+
+
+def test_silu_mul_quant_oracle():
+    a, b = _mk((256, 512), 4), _mk((256, 512), 5)
+    y_ref = pf.silu_mul_f32(a, b)
+    for axis, fn in [
+        (1, pf.silu_mul_quant_rowwise),
+        (0, pf.silu_mul_quant_colwise),
+    ]:
+        q_ref, s_ref = quantize_int8(y_ref, axis=axis)
+        q, s = fn(a, b, interpret=True)
+        _q_close(q, q_ref)
+        np.testing.assert_allclose(
+            np.asarray(s).ravel(),
+            np.asarray(s_ref, np.float32).ravel(),
+            rtol=1e-2,
+        )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="in-kernel stochastic rounding uses the TPU PRNG "
+    "(pltpu.prng_random_bits); run on a chip to exercise",
+)
+def test_sr_deterministic_and_bounded():
+    x = _mk((128, 256), 6)
+    g = jnp.ones((256,), jnp.bfloat16)
+    seed = jnp.array([1234], jnp.int32)
+    q1, s1 = pf.rmsnorm_quant_rowwise(
+        x, g.reshape(1, -1), seed, norm_eps=EPS, sr=True
+    )
+    q2, _ = pf.rmsnorm_quant_rowwise(
+        x, g.reshape(1, -1), seed, norm_eps=EPS, sr=True
+    )
+    assert bool(jnp.all(q1 == q2)), "same seed must reproduce"
+    # SR result is within 1 step of the deterministic rounding
+    q_det, _ = pf.rmsnorm_quant_rowwise(
+        x, g.reshape(1, -1), norm_eps=EPS
+    )
+    assert np.abs(
+        np.asarray(q1, np.int32) - np.asarray(q_det, np.int32)
+    ).max() <= 1
+
+
+def _mp_weights(shapes, seeds, **cfg_kwargs):
+    cfg = quant.MixedPrecisionConfig(**cfg_kwargs)
+    return [
+        quant.MixedPrecisionWeight(_mk(s, sd), cfg)
+        for s, sd in zip(shapes, seeds)
+    ]
+
+
+def _grads(fn, *args):
+    out, grads = jax.value_and_grad(fn, argnums=tuple(range(len(args))))(*args)
+    return out, grads
+
+
+def test_norm_linear_multi_matches_unfused():
+    """Fused custom_vjp (interpret kernels) == unfused composite: outputs
+    and every gradient, within quantization-LSB tolerance."""
+    x = _mk((4, 64, 256), 7)
+    gamma = (1 + 0.1 * _mk((256,), 8, jnp.float32)).astype(jnp.bfloat16)
+    ws = _mp_weights([(256, 256)] * 3, [9, 10, 11])
+    key = jax.random.PRNGKey(42)
+
+    def run(x, gamma, *wdata):
+        weights = [
+            quant.MixedPrecisionWeight(d, ws[0].config) for d in wdata
+        ]
+        outs = quant.norm_linear_multi(x, gamma, weights, EPS, key=key)
+        return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in outs)
+
+    wdata = [w.data for w in ws]
+    fused.set_impl("interpret")
+    try:
+        loss_f, grads_f = _grads(run, x, gamma, *wdata)
+    finally:
+        fused.set_impl("off")
+    try:
+        loss_u, grads_u = _grads(run, x, gamma, *wdata)
+    finally:
+        fused.set_impl("auto")
+
+    np.testing.assert_allclose(float(loss_f), float(loss_u), rtol=2e-2)
+    for gf, gu in zip(grads_f, grads_u):
+        gf, gu = np.asarray(gf, np.float32), np.asarray(gu, np.float32)
+        denom = np.abs(gu).max() + 1e-6
+        assert np.abs(gf - gu).max() / denom < 6e-2, (
+            np.abs(gf - gu).max(),
+            denom,
+        )
+
+
+def test_silu_mul_linear_matches_unfused():
+    gate = _mk((4, 64, 256), 12)
+    up = _mk((4, 64, 256), 13)
+    (w,) = _mp_weights([(128, 256)], [14])
+    key = jax.random.PRNGKey(43)
+
+    def run(gate, up, wdata):
+        wq = quant.MixedPrecisionWeight(wdata, w.config)
+        out = quant.silu_mul_linear(gate, up, wq, key=key)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    fused.set_impl("interpret")
+    try:
+        loss_f, grads_f = _grads(run, gate, up, w.data)
+    finally:
+        fused.set_impl("off")
+    try:
+        loss_u, grads_u = _grads(run, gate, up, w.data)
+    finally:
+        fused.set_impl("auto")
+
+    np.testing.assert_allclose(float(loss_f), float(loss_u), rtol=2e-2)
+    for gf, gu in zip(grads_f, grads_u):
+        gf, gu = np.asarray(gf, np.float32), np.asarray(gu, np.float32)
+        denom = np.abs(gu).max() + 1e-6
+        assert np.abs(gf - gu).max() / denom < 6e-2
+
+
+def test_fallbacks_cover_other_schemes():
+    """bf16 (plain arrays) and non-all-int8 configs route to the exact
+    unfused composite."""
+    x = _mk((2, 16, 256), 15)
+    gamma = jnp.ones((256,), jnp.bfloat16)
+    w_plain = [_mk((256, 256), 16)]
+    outs = quant.norm_linear_multi(x, gamma, w_plain, EPS)
+    ref = pf.rms_norm_ref(x, gamma, EPS) @ w_plain[0].T
+    np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(ref))
+
+    ws = _mp_weights([(256, 256)], [17], grad_weight=False)
+    outs_q = quant.norm_linear_multi(x, gamma, ws, EPS)
+    assert outs_q[0].shape == (2, 16, 256)
+
+    out_s = quant.silu_mul_linear(x, x, w_plain[0])
+    ref_s = pf.silu_mul_ref(x, x) @ w_plain[0].T
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(ref_s))
+
+
+def test_train_step_fused_vs_unfused():
+    """Tiny llama train step: loss trajectory with fused producers
+    (interpret) tracks the unfused path."""
+    from quantized_training_tpu import optim
+    from quantized_training_tpu.train import init_train_state, make_train_step
+
+    cfg = llama.LlamaConfig(
+        vocab_size=512,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    tok = jax.random.randint(jax.random.PRNGKey(0), (2, 64), 0, 512, jnp.int32)
+    lab = jnp.roll(tok, -1, axis=-1)
+
+    def losses(impl):
+        fused.set_impl(impl)
+        try:
+            params = llama.init_params(jax.random.PRNGKey(1), cfg)
+            qp = quant.quantize_params(params, "mixed_precision")
+            opt = optim.adamw_bf16_sr(bf16_stochastic_rounding=False)
+            state = init_train_state(qp, opt)
+            step = make_train_step(cfg, opt, donate=False)
+            out = []
+            for i in range(3):
+                state, m = step(
+                    state, tok, lab, 1e-3, jax.random.PRNGKey(i)
+                )
+                out.append(float(m["loss"]))
+            return out
+        finally:
+            fused.set_impl("auto")
+
+    lf = losses("interpret")
+    lu = losses("off")
+    np.testing.assert_allclose(lf, lu, rtol=2e-2)
