@@ -103,9 +103,22 @@ def main():
     p.add_argument("--schemes", nargs="+", default=["bf16", "int8_mp"],
                    choices=list(SCHEMES))
     p.add_argument("--cpu", action="store_true")
+    p.add_argument(
+        "--cache_dir",
+        help="enable JAX's persistent compilation cache at this path: the "
+        "second run of the same program skips the backend compile "
+        "entirely, which amortizes the int8 config's one-time compile "
+        "cost across jobs (run twice with the same --cache_dir to "
+        "measure the cached-compile time)",
+    )
     args = p.parse_args()
 
     import jax
+
+    if args.cache_dir:
+        jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
