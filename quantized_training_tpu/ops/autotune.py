@@ -150,8 +150,11 @@ def _time_config(fn, args, flops: float) -> float:
     _sync(f_hi(*args))
 
     def t(f):
+        # 4 repeats, keep the min: 2 repeats left the per-shape dispatch
+        # decisions resting on single-sample differentials through a
+        # tunnel with tens-of-ms jitter (round-2 verdict weak #9)
         ts = []
-        for _ in range(2):
+        for _ in range(4):
             t0 = time.perf_counter()
             _sync(f(*args))
             ts.append(time.perf_counter() - t0)
