@@ -26,7 +26,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..quant import qlinear
+from ..quant import gelu_linear, layernorm_linear, qlinear
 
 Array = jax.Array
 
@@ -112,8 +112,12 @@ def _block(cfg: ViTConfig, x, lp, key):
     def lkey(i):
         return jax.random.fold_in(key, i)
 
-    h = layer_norm(x, lp["norm1"]["g"], lp["norm1"]["b"], cfg.layer_norm_eps)
-    qkv = qlinear(h, lp["qkv"]["w"], lp["qkv"]["b"], key=lkey(0))
+    # layer norm fused into the qkv input quantize (all-int8 on TPU);
+    # other schemes fall back to the identical unfused composite
+    qkv = layernorm_linear(
+        x, lp["norm1"]["g"], lp["norm1"]["b"], lp["qkv"]["w"],
+        cfg.layer_norm_eps, bias=lp["qkv"]["b"], key=lkey(0),
+    )
     q, k, v = jnp.split(qkv.reshape(B, S, 3, H, hd), 3, axis=2)
     q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]
 
@@ -124,9 +128,12 @@ def _block(cfg: ViTConfig, x, lp, key):
     ctx = jnp.einsum("bhst,bthd->bshd", probs, v).reshape(B, S, D)
     x = x + qlinear(ctx, lp["proj"]["w"], lp["proj"]["b"], key=lkey(1))
 
-    h = layer_norm(x, lp["norm2"]["g"], lp["norm2"]["b"], cfg.layer_norm_eps)
-    h = jax.nn.gelu(qlinear(h, lp["fc1"]["w"], lp["fc1"]["b"], key=lkey(2)))
-    x = x + qlinear(h, lp["fc2"]["w"], lp["fc2"]["b"], key=lkey(3))
+    h = layernorm_linear(
+        x, lp["norm2"]["g"], lp["norm2"]["b"], lp["fc1"]["w"],
+        cfg.layer_norm_eps, bias=lp["fc1"]["b"], key=lkey(2),
+    )
+    # gelu fused into the fc2 input quantize
+    x = x + gelu_linear(h, lp["fc2"]["w"], bias=lp["fc2"]["b"], key=lkey(3))
     return x
 
 

@@ -404,3 +404,189 @@ def supported(M: int, K: int, dtype, n_inputs: int = 1) -> bool:
         return False
     eb = n_inputs * jnp.dtype(dtype).itemsize
     return _pick_block(M, K, elem_bytes=eb) is not None
+
+
+# ---------------------------------------------------------------------------
+# layernorm -> int8 and gelu -> int8 (ViT producers, models/vit.py:92-128)
+# ---------------------------------------------------------------------------
+
+
+def layer_norm_ref(x: Array, g: Array, b: Array, eps: float) -> Array:
+    """Unfused composite semantics (models.vit.layer_norm): fp32 math,
+    xhat cast to the input dtype before the affine."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * g + b
+
+
+def layer_norm_f32(x: Array, g: Array, b: Array, eps: float) -> Array:
+    """Fused-kernel semantics of models.vit.layer_norm: fp32 throughout."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xhat = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return xhat * g.astype(jnp.float32) + b.astype(jnp.float32)
+
+
+def gelu_f32(a: Array) -> Array:
+    """Fused-kernel semantics of jax.nn.gelu (tanh approximation), fp32."""
+    return jax.nn.gelu(a.astype(jnp.float32), approximate=True)
+
+
+def _ln_block(x_ref, g_ref, b_ref, eps):
+    xf = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=1, keepdims=True)
+    xhat = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return xhat * g_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+
+
+def _gelu_block(a_ref):
+    return jax.nn.gelu(a_ref[:].astype(jnp.float32), approximate=True)
+
+
+def _producer_quant_call(
+    producer, inputs, M, K, bm, seed, *, eps, sr, axis, interpret, salt
+):
+    """Shared row/col quantize driver around an in-kernel producer.
+
+    ``producer(refs) -> f32 [bm, K] block``; ``inputs`` are the [M, K]
+    (or [1, K]) arrays it reads. axis=1: one pass, per-row scales.
+    axis=0: two passes (col absmax accumulate, then scale+cast)."""
+    n = len(inputs)
+    in_specs = [
+        pl.BlockSpec(
+            (bm, K) if a.shape[0] != 1 else (1, K),
+            (lambda i: (i, 0)) if a.shape[0] != 1 else (lambda i: (0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+        for a in inputs
+    ]
+
+    if axis == 1:
+
+        def row_kernel(*refs):
+            seed_ref, q_ref, s_ref = refs[n], refs[n + 1], refs[n + 2]
+            y = producer(refs[:n])
+            _quant_row_block(y, seed_ref, q_ref, s_ref, eps=eps, sr=sr,
+                             pid=pl.program_id(0))
+
+        q, s = pl.pallas_call(
+            row_kernel,
+            grid=(M // bm,),
+            in_specs=in_specs + [_seed_spec()],
+            out_specs=[
+                pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((M, K), jnp.int8),
+                jax.ShapeDtypeStruct((M, 1), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*inputs, seed)
+        return q, s
+
+    def amax_kernel(*refs):
+        amax_ref = refs[n]
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            amax_ref[:] = jnp.zeros_like(amax_ref)
+
+        y = producer(refs[:n])
+        amax_ref[:] = jnp.maximum(
+            amax_ref[:], jnp.max(jnp.abs(y), axis=0, keepdims=True)
+        )
+
+    amax = pl.pallas_call(
+        amax_kernel,
+        grid=(M // bm,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, K), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(*inputs)
+    scale = amax * (1.0 / 127.0)
+
+    def scale_kernel(*refs):
+        seed_ref, s_ref, q_ref = refs[n], refs[n + 1], refs[n + 2]
+        if sr:
+            pltpu.prng_seed(
+                _block_seed(seed_ref, pl.program_id(0), jnp.int32(salt))
+            )
+        y = producer(refs[:n])
+        qv = _round_op(y * _inv_scale(s_ref[:], eps), sr)
+        q_ref[:] = jnp.clip(qv, -128, 127).astype(jnp.int8)
+
+    q = pl.pallas_call(
+        scale_kernel,
+        grid=(M // bm,),
+        in_specs=in_specs
+        + [
+            _seed_spec(),
+            pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, K), jnp.int8),
+        interpret=interpret,
+    )(*inputs, seed, scale)
+    return q, scale
+
+
+@functools.partial(
+    jax.jit, static_argnames=("axis", "norm_eps", "eps", "sr", "interpret")
+)
+def layernorm_quant(
+    x: Array,
+    g: Array,
+    b: Array,
+    seed: Array | None = None,
+    *,
+    axis: int = 1,
+    norm_eps: float = 1e-6,
+    eps: float = _EPS,
+    sr: bool = False,
+    interpret: bool = False,
+):
+    """quantize_int8(layer_norm(x, g, b), axis) with the norm in-kernel.
+
+    x [M,K]; g, b [1,K]. axis=1: one HBM read; axis=0: two."""
+    M, K = x.shape
+    bm = _pick_block(M, K, elem_bytes=x.dtype.itemsize)
+    if bm is None:
+        raise ValueError(f"no row blocks for shape {x.shape}")
+    return _producer_quant_call(
+        lambda refs: _ln_block(refs[0], refs[1], refs[2], norm_eps),
+        (x, g, b), M, K, bm, _as_seed(seed),
+        eps=eps, sr=sr, axis=axis, interpret=interpret, salt=17,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("axis", "eps", "sr", "interpret")
+)
+def gelu_quant(
+    a: Array,
+    seed: Array | None = None,
+    *,
+    axis: int = 1,
+    eps: float = _EPS,
+    sr: bool = False,
+    interpret: bool = False,
+):
+    """quantize_int8(gelu(a), axis) with the activation in-kernel."""
+    M, K = a.shape
+    bm = _pick_block(M, K, elem_bytes=a.dtype.itemsize)
+    if bm is None:
+        raise ValueError(f"no row blocks for shape {a.shape}")
+    return _producer_quant_call(
+        lambda refs: _gelu_block(refs[0]),
+        (a,), M, K, bm, _as_seed(seed),
+        eps=eps, sr=sr, axis=axis, interpret=interpret, salt=19,
+    )

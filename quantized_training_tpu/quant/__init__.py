@@ -15,7 +15,12 @@ from .api import (
     virtual_params,
 )
 from .bitnet import BitNetPackedWeight, BitNetWeight
-from .fused import norm_linear_multi, silu_mul_linear
+from .fused import (
+    gelu_linear,
+    layernorm_linear,
+    norm_linear_multi,
+    silu_mul_linear,
+)
 from .configs import Int8QTConfig, MixedPrecisionConfig
 from .core import (
     bf16_stochastic_round,
@@ -37,6 +42,8 @@ __all__ = [
     "qlinear_multi",
     "norm_linear_multi",
     "silu_mul_linear",
+    "layernorm_linear",
+    "gelu_linear",
     "quantize_params",
     "virtual_params",
     "merge_masters",

@@ -302,3 +302,179 @@ def silu_mul_linear(gate, up, w, *, key=None):
     out = _silu_mm(w.config, _interpret(), a2d, b2d, w.data, key)[:M]
     batch_dims = gate.shape[:-1]
     return out.reshape(*batch_dims, w.data.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# ViT producers: layernorm -> linear, gelu -> linear (models/vit.py:92-128)
+# ---------------------------------------------------------------------------
+
+
+def _layernorm_bwd_math(x2d, g, b, dy, eps):
+    xf = x2d.astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    rstd = jax.lax.rsqrt(jnp.mean(xc * xc, axis=-1, keepdims=True) + eps)
+    xhat = xc * rstd
+    dxhat = dyf * gf
+    dx = rstd * (
+        dxhat
+        - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+    dg = jnp.sum(dyf * xhat, axis=0)
+    db = jnp.sum(dyf, axis=0)
+    return dx.astype(x2d.dtype), dg.astype(g.dtype), db.astype(b.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _ln_mm(config, eps: float, interpret: bool, x2d, g, b, w, key):
+    sr = config.stochastic_rounding
+    seed = _kseed(_sub(key, 0)) if sr else None
+    y_row, y_row_s = pf.layernorm_quant(
+        x2d, g.reshape(1, -1), b.reshape(1, -1), seed, axis=1,
+        norm_eps=eps, sr=sr, interpret=interpret,
+    )
+    y_row_s = y_row_s.astype(x2d.dtype)
+    kw = _sub(key, 1) if sr else None
+    w_row, w_row_s = quantize_int8(w, axis=1, stochastic_rounding=sr, key=kw)
+    return scaled_mm_general(
+        y_row, w_row, y_row_s, w_row_s, dims=(1, 1), out_dtype=x2d.dtype
+    )
+
+
+def _ln_mm_fwd(config, eps, interpret, x2d, g, b, w, key):
+    return _ln_mm(config, eps, interpret, x2d, g, b, w, key), (
+        x2d, g, b, w, key,
+    )
+
+
+def _ln_mm_bwd(config, eps, interpret, res, gout):
+    x2d, g, b, w, key = res
+    gout = gout.astype(x2d.dtype)
+    sr = config.stochastic_rounding
+    seed = _kseed(_sub(key, 2)) if sr else None
+    y_col, y_col_s = pf.layernorm_quant(
+        x2d, g.reshape(1, -1), b.reshape(1, -1), seed, axis=0,
+        norm_eps=eps, sr=sr, interpret=interpret,
+    )
+    y_col_s = y_col_s.astype(x2d.dtype)
+    kg = kw = None
+    if sr:
+        kg, kw = jax.random.split(_sub(key, 3))
+    g_row, g_row_s, g_col, g_col_s = quantize_int8_both(
+        gout, stochastic_rounding=sr, key=kg
+    )
+    w_col, w_col_s = quantize_int8(w, axis=0, stochastic_rounding=sr, key=kw)
+    dy = scaled_mm_general(
+        g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=x2d.dtype
+    )
+    grad_w = scaled_mm_general(
+        g_col, y_col, g_col_s, y_col_s, dims=(0, 0), out_dtype=w.dtype
+    )
+    dx, dg, db = _layernorm_bwd_math(x2d, g, b, dy, eps)
+    return dx, dg, db, grad_w, None
+
+
+_ln_mm.defvjp(_ln_mm_fwd, _ln_mm_bwd)
+
+
+def layernorm_linear(x, g, b, w, eps, *, bias=None, key=None):
+    """layer_norm(x, g, b) @ w.T + bias with the norm fused into the
+    input quantize for all-INT8 mixed-precision weights.
+
+    Drop-in for ``models.vit.layer_norm`` followed by ``qlinear``."""
+    fused = isinstance(w, MixedPrecisionWeight) and _all_int8(w.config)
+    if fused:
+        x2d = x.reshape(-1, x.shape[-1])
+        x2d, M = _pad_tokens(x2d)
+        fused = _fused_ok(x2d.shape[0], x2d.shape[1], x.dtype)
+    if not fused:
+        from .api import qlinear
+
+        h = pf.layer_norm_ref(x, g, b, eps)
+        return qlinear(h, w, bias, key=key)
+
+    if key is None:
+        if w.config.stochastic_rounding:
+            raise ValueError("stochastic_rounding requires a PRNG key")
+        key = jax.random.PRNGKey(0)
+    out = _ln_mm(w.config, float(eps), _interpret(), x2d, g, b, w.data, key)
+    out = out[:M].reshape(*x.shape[:-1], w.data.shape[0])
+    return out if bias is None else out + bias
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gelu_mm(config, interpret: bool, a2d, w, key):
+    sr = config.stochastic_rounding
+    seed = _kseed(_sub(key, 0)) if sr else None
+    y_row, y_row_s = pf.gelu_quant(
+        a2d, seed, axis=1, sr=sr, interpret=interpret
+    )
+    y_row_s = y_row_s.astype(a2d.dtype)
+    kw = _sub(key, 1) if sr else None
+    w_row, w_row_s = quantize_int8(w, axis=1, stochastic_rounding=sr, key=kw)
+    return scaled_mm_general(
+        y_row, w_row, y_row_s, w_row_s, dims=(1, 1), out_dtype=a2d.dtype
+    )
+
+
+def _gelu_mm_fwd(config, interpret, a2d, w, key):
+    return _gelu_mm(config, interpret, a2d, w, key), (a2d, w, key)
+
+
+def _gelu_mm_bwd(config, interpret, res, gout):
+    a2d, w, key = res
+    gout = gout.astype(a2d.dtype)
+    sr = config.stochastic_rounding
+    seed = _kseed(_sub(key, 2)) if sr else None
+    y_col, y_col_s = pf.gelu_quant(
+        a2d, seed, axis=0, sr=sr, interpret=interpret
+    )
+    y_col_s = y_col_s.astype(a2d.dtype)
+    kg = kw = None
+    if sr:
+        kg, kw = jax.random.split(_sub(key, 3))
+    g_row, g_row_s, g_col, g_col_s = quantize_int8_both(
+        gout, stochastic_rounding=sr, key=kg
+    )
+    w_col, w_col_s = quantize_int8(w, axis=0, stochastic_rounding=sr, key=kw)
+    dy = scaled_mm_general(
+        g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=a2d.dtype
+    )
+    grad_w = scaled_mm_general(
+        g_col, y_col, g_col_s, y_col_s, dims=(0, 0), out_dtype=w.dtype
+    )
+    # producer backward: elementwise gelu' via vjp (recomputed, XLA-fused)
+    af = a2d.astype(jnp.float32)
+    _, pullback = jax.vjp(lambda t: jax.nn.gelu(t, approximate=True), af)
+    (da,) = pullback(dy.astype(jnp.float32))
+    return da.astype(a2d.dtype), grad_w, None
+
+
+_gelu_mm.defvjp(_gelu_mm_fwd, _gelu_mm_bwd)
+
+
+def gelu_linear(a, w, *, bias=None, key=None):
+    """gelu(a) @ w.T + bias with the activation fused into the input
+    quantize for all-INT8 mixed-precision weights.
+
+    Drop-in for ``jax.nn.gelu`` followed by ``qlinear``."""
+    fused = isinstance(w, MixedPrecisionWeight) and _all_int8(w.config)
+    if fused:
+        a2d = a.reshape(-1, a.shape[-1])
+        a2d, M = _pad_tokens(a2d)
+        fused = _fused_ok(a2d.shape[0], a2d.shape[1], a.dtype)
+    if not fused:
+        from .api import qlinear
+
+        return qlinear(jax.nn.gelu(a), w, bias, key=key)
+
+    if key is None:
+        if w.config.stochastic_rounding:
+            raise ValueError("stochastic_rounding requires a PRNG key")
+        key = jax.random.PRNGKey(0)
+    out = _gelu_mm(w.config, _interpret(), a2d, w.data, key)
+    out = out[:M].reshape(*a.shape[:-1], w.data.shape[0])
+    return out if bias is None else out + bias

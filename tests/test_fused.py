@@ -247,3 +247,112 @@ def test_train_step_fused_vs_unfused():
     lf = losses("interpret")
     lu = losses("off")
     np.testing.assert_allclose(lf, lu, rtol=2e-2)
+
+
+def test_layernorm_gelu_quant_oracles():
+    x = _mk((256, 384), 20)
+    g = (1 + 0.1 * _mk((384,), 21, jnp.float32)).astype(jnp.bfloat16)
+    b = (0.05 * _mk((384,), 22, jnp.float32)).astype(jnp.bfloat16)
+    LNEPS = 1e-6
+    y_ref = pf.layer_norm_f32(x, g, b, LNEPS)
+    for axis in (1, 0):
+        q_ref, s_ref = quantize_int8(y_ref, axis=axis)
+        q, s = pf.layernorm_quant(
+            x, g.reshape(1, -1), b.reshape(1, -1), axis=axis,
+            norm_eps=LNEPS, interpret=True,
+        )
+        _q_close(q, q_ref)
+        np.testing.assert_allclose(
+            np.asarray(s).ravel(),
+            np.asarray(s_ref, np.float32).ravel(),
+            rtol=1e-2,
+        )
+
+    a = _mk((256, 384), 23)
+    y_ref = pf.gelu_f32(a)
+    for axis in (1, 0):
+        q_ref, s_ref = quantize_int8(y_ref, axis=axis)
+        q, s = pf.gelu_quant(a, axis=axis, interpret=True)
+        _q_close(q, q_ref)
+
+
+def test_layernorm_gelu_linear_match_unfused():
+    x = _mk((2, 128, 256), 24)
+    g = (1 + 0.1 * _mk((256,), 25, jnp.float32)).astype(jnp.bfloat16)
+    b = (0.05 * _mk((256,), 26, jnp.float32)).astype(jnp.bfloat16)
+    (w,) = _mp_weights([(256, 256)], [27])
+    bias = (0.01 * _mk((256,), 28, jnp.float32)).astype(jnp.bfloat16)
+    key = jax.random.PRNGKey(44)
+    LNEPS = 1e-6
+
+    def run_ln(x, g, b, wdata, bias):
+        wq = quant.MixedPrecisionWeight(wdata, w.config)
+        out = quant.layernorm_linear(x, g, b, wq, LNEPS, bias=bias, key=key)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def run_gelu(x, wdata, bias):
+        wq = quant.MixedPrecisionWeight(wdata, w.config)
+        out = quant.gelu_linear(x, wq, bias=bias, key=key)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    for fn, args in [(run_ln, (x, g, b, w.data, bias)),
+                     (run_gelu, (x, w.data, bias))]:
+        fused.set_impl("interpret")
+        try:
+            loss_f, grads_f = _grads(fn, *args)
+        finally:
+            fused.set_impl("off")
+        try:
+            loss_u, grads_u = _grads(fn, *args)
+        finally:
+            fused.set_impl("auto")
+        np.testing.assert_allclose(float(loss_f), float(loss_u), rtol=2e-2)
+        for gf, gu in zip(grads_f, grads_u):
+            gf, gu = np.asarray(gf, np.float32), np.asarray(gu, np.float32)
+            denom = np.abs(gu).max() + 1e-6
+            assert np.abs(gf - gu).max() / denom < 6e-2
+
+
+def test_vit_train_step_fused_vs_unfused():
+    """ViT training: fused layernorm/gelu producers (interpret) track the
+    unfused path."""
+    from quantized_training_tpu import optim
+    from quantized_training_tpu.models import vit
+    from quantized_training_tpu.train import init_train_state
+
+    cfg = vit.ViTConfig(
+        image_size=32, patch_size=8, hidden_size=128, num_layers=2,
+        num_heads=2, num_classes=10,
+    )
+    imgs = jax.random.normal(
+        jax.random.PRNGKey(0), (8, 32, 32, 3), jnp.float32
+    ).astype(jnp.bfloat16)
+    labels = jax.random.randint(jax.random.PRNGKey(1), (8,), 0, 10, jnp.int32)
+
+    def losses(impl):
+        fused.set_impl(impl)
+        try:
+            params = vit.init_params(jax.random.PRNGKey(2), cfg)
+            qp = quant.quantize_params(params, "mixed_precision")
+            opt = optim.adamw_bf16_sr(bf16_stochastic_rounding=False)
+            state = init_train_state(qp, opt)
+            import functools as ft
+
+            @jax.jit
+            def step(state, key):
+                def loss(p):
+                    virt = quant.virtual_params(p)
+                    merged = quant.merge_masters(virt, p)
+                    return vit.loss_fn(merged, imgs, labels, cfg, key=key)
+
+                l, grads = jax.value_and_grad(loss)(state.params)
+                return l
+
+            out = [float(step(state, jax.random.PRNGKey(i))) for i in range(2)]
+            return out
+        finally:
+            fused.set_impl("auto")
+
+    lf = losses("interpret")
+    lu = losses("off")
+    np.testing.assert_allclose(lf, lu, rtol=3e-2)
