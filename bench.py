@@ -106,6 +106,15 @@ def main():
     log(f"benchmarking on {jax.devices()[0].device_kind}")
     int8_toks, chosen = try_measure(configs, "mixed_precision")
     if int8_toks is None:
+        # safety net: if the producer-fused kernels (QT_FUSED default on)
+        # hit a compile wall on this backend, fall back to the unfused
+        # quantize path rather than reporting nothing
+        import os
+
+        log("retrying with QT_FUSED=0 (unfused producer path)")
+        os.environ["QT_FUSED"] = "0"
+        int8_toks, chosen = try_measure(configs, "mixed_precision")
+    if int8_toks is None:
         log("FATAL: could not measure int8 mixed-precision at any config")
         sys.exit(1)
     cfg_name, bs, seq = chosen
