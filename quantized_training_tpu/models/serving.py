@@ -11,7 +11,10 @@ is the TPU-native design:
     prompt's K/V into the slot rows, so joining a running batch never
     recompiles the decode step.
   - All device code is functional (ServeState pytree in, pytree out) and
-    fixed-shape: one compile for decode, one per prefill bucket.
+    fixed-shape: one compile per decode WINDOW actually reached (the
+    attention reads only the first ``window`` cache rows, picked from
+    host-tracked slot positions, so short conversations never pay
+    ``max_len``-sized attention), one per prefill bucket.
   - INT8 KV quantization is inherited from llama_infer (same
     ``_quant_kv``), so memory per slot matches the batched decoder.
 
@@ -108,18 +111,25 @@ def make_prefill(cfg: llama.LlamaConfig):
     return prefill
 
 
-def make_decode_step(cfg: llama.LlamaConfig):
+def make_decode_step(cfg: llama.LlamaConfig, window: int | None = None):
     """Jitted (params, state) -> (state, tokens [n_slots]).
 
     One decode token for EVERY slot in one batched forward; inactive
     slots compute masked garbage and are left untouched (their pos and
     last_token don't advance).
+
+    ``window``: attention only reads the first ``window`` cache rows
+    (static slice). The Server picks the smallest power-of-two window
+    covering the deepest active slot, so decode attention cost scales
+    with actual fill instead of ``max_len`` — one compile per window
+    bucket actually reached. ``None`` attends over the full cache.
     """
 
     @partial(jax.jit, donate_argnums=(1,))
     def step(params, state: ServeState):
         n_slots = state.pos.shape[0]
         S = state.cache.max_len
+        W = S if window is None else min(window, S)
         H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
         B = n_slots
 
@@ -158,11 +168,11 @@ def make_decode_step(cfg: llama.LlamaConfig):
             vca = vca.at[l, rows, state.pos].set(v_q[:, 0])
             vsca = vsca.at[l, rows, state.pos].set(v_s[:, 0].astype(vsca.dtype))
 
-            kc = kca[l]
-            ksc = ksca[l]
-            vc = vca[l]
-            vsc = vsca[l]
-            k_deq = kc.astype(ksc.dtype) * ksc  # [B, S, KV, hd]
+            kc = kca[l, :, :W]
+            ksc = ksca[l, :, :W]
+            vc = vca[l, :, :W]
+            vsc = vsca[l, :, :W]
+            k_deq = kc.astype(ksc.dtype) * ksc  # [B, W, KV, hd]
             v_deq = vc.astype(vsc.dtype) * vsc
             G = H // KV
             qg = q.reshape(B, 1, KV, G, hd)
@@ -171,7 +181,7 @@ def make_decode_step(cfg: llama.LlamaConfig):
                 preferred_element_type=jnp.float32,
             ) * (hd ** -0.5)
             # slot b may attend cache positions <= its own pos
-            s_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 1, S), 2)
+            s_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 1, W), 2)
             mask = s_ids <= state.pos[:, None, None]
             scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
             probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
@@ -233,7 +243,8 @@ class Server:
     BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
 
     def __init__(self, params, cfg: llama.LlamaConfig, n_slots: int, max_len: int,
-                 eos_token: int | None = None):
+                 eos_token: int | None = None,
+                 window_buckets: tuple[int, ...] | None = None):
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
@@ -241,7 +252,19 @@ class Server:
         self.eos = eos_token
         self.state = ServeState.zeros(cfg, n_slots, max_len)
         self._prefill = make_prefill(cfg)
-        self._decode = make_decode_step(cfg)
+        # decode attention windows: powers of two from 128 up to max_len
+        # (slot positions are tracked HOST-side so picking the window adds
+        # no device sync); each window compiles lazily on first use
+        if window_buckets is None:
+            window_buckets, w = [], 128
+            while w < max_len:
+                window_buckets.append(w)
+                w *= 2
+            window_buckets.append(max_len)
+        self._windows = tuple(sorted(set(min(w, max_len) for w in window_buckets)))
+        assert self._windows[-1] == max_len
+        self._decode_fns: dict[int, object] = {}
+        self._pos_host: dict[int, int] = {}  # slot -> next write position
         self._free = list(range(n_slots))
         self._slot_req: dict[int, int] = {}
         self._results: dict[int, list[int]] = {}
@@ -283,6 +306,7 @@ class Server:
         )
         first = int(self.state.last_token[slot])
         self._slot_req[slot] = rid
+        self._pos_host[slot] = n
         self._results[rid] = [first]
         self._budget[rid] = max_new_tokens - 1
         if max_new_tokens <= 1 or first == self.eos:
@@ -293,15 +317,28 @@ class Server:
             rid, prompt, budget = self._queue.pop(0)
             self._start(self._free.pop(), rid, prompt, budget)
 
+    def _decode_for(self, needed: int):
+        """Smallest compiled decode step whose window covers ``needed``."""
+        w = next(b for b in self._windows if b >= needed)
+        fn = self._decode_fns.get(w)
+        if fn is None:
+            fn = self._decode_fns[w] = make_decode_step(
+                self.cfg, None if w == self.max_len else w
+            )
+        return fn
+
     def step(self):
         """One decode step for all active slots; returns [(rid, token)]."""
         self._admit()  # fill any slots freed since the last step
         if not self._slot_req:
             return []
-        self.state, toks = self._decode(self.params, self.state)
+        # this step writes at each active slot's pos and attends <= pos
+        needed = max(self._pos_host[s] for s in self._slot_req) + 1
+        self.state, toks = self._decode_for(needed)(self.params, self.state)
         toks = np.asarray(toks)
         emitted = []
         for slot, rid in list(self._slot_req.items()):
+            self._pos_host[slot] += 1
             t = int(toks[slot])
             self._results[rid].append(t)
             self._budget[rid] -= 1
@@ -309,7 +346,7 @@ class Server:
             if (
                 self._budget[rid] <= 0
                 or t == self.eos
-                or int(self.state.pos[slot]) >= self.max_len - 1
+                or self._pos_host[slot] >= self.max_len - 1
             ):
                 self._finish(slot)
         return emitted
@@ -319,6 +356,7 @@ class Server:
 
     def _finish(self, slot: int):
         rid = self._slot_req.pop(slot)
+        self._pos_host.pop(slot, None)
         del self._budget[rid]
         self.state = ServeState(
             self.state.cache,

@@ -57,6 +57,12 @@ VIT_SMALL = ViTConfig(hidden_size=384, num_layers=12, num_heads=6)
 VIT_BASE = ViTConfig(hidden_size=768, num_layers=12, num_heads=12)
 VIT_LARGE = ViTConfig(hidden_size=1024, num_layers=24, num_heads=16)
 VIT_HUGE = ViTConfig(hidden_size=1280, num_layers=32, num_heads=16)
+# The reference's own finetune target (README.md:64 timm_finetune.py
+# --model timm/vit_giant_patch14_dinov2): embed 1536 / depth 40 / heads 24
+# / patch 14 (224/14 = 16x16 -> 257 tokens).
+VIT_GIANT = ViTConfig(
+    patch_size=14, hidden_size=1536, num_layers=40, num_heads=24
+)
 
 
 def init_params(key: Array, cfg: ViTConfig, dtype=jnp.bfloat16):

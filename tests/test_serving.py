@@ -121,3 +121,29 @@ def test_slot_reuse_after_finish():
     while srv.pending():
         srv.step()
     assert srv.result(r2) == ref
+
+
+def test_windowed_decode_crosses_buckets_exactly():
+    """Decode attention reads only a host-picked window of the cache;
+    a generation that crosses several window boundaries (32 -> 48 -> 64)
+    is token-identical to the single full-window decode and to
+    generate(), and only the windows actually reached get compiled."""
+    params = _params()
+    prompt = [3, 14, 15, 92, 6, 53, 58, 9]
+    n_new = 50  # positions reach 8 + 50 = 58: crosses 32 and 48
+    ref = _ref_generate(params, prompt, n_new)
+
+    srv = Server(params, CFG, n_slots=2, max_len=64,
+                 window_buckets=(32, 48, 64))
+    rid = srv.add_request(prompt, max_new_tokens=n_new)
+    while srv.pending():
+        srv.step()
+    assert srv.result(rid) == ref
+    assert set(srv._decode_fns) == {32, 48, 64}
+
+    full = Server(params, CFG, n_slots=2, max_len=64, window_buckets=(64,))
+    rid2 = full.add_request(prompt, max_new_tokens=n_new)
+    while full.pending():
+        full.step()
+    assert full.result(rid2) == ref
+    assert set(full._decode_fns) == {64}

@@ -47,7 +47,7 @@ class CosineSchedule:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="vit_tiny",
-                        help="vit_tiny | vit_small | vit_base | vit_large | vit_huge")
+                        help="vit_tiny|vit_small|vit_base|vit_large|vit_huge|vit_giant")
     parser.add_argument("--model_kwargs", type=json.loads, default=dict())
     parser.add_argument("--num_classes", type=int, default=45)  # RESISC45
 
@@ -96,7 +96,7 @@ def main() -> None:
 
     named = {"vit_tiny": vit.VIT_TINY, "vit_small": vit.VIT_SMALL,
              "vit_base": vit.VIT_BASE, "vit_large": vit.VIT_LARGE,
-             "vit_huge": vit.VIT_HUGE}
+             "vit_huge": vit.VIT_HUGE, "vit_giant": vit.VIT_GIANT}
     overrides = dict(
         num_classes=args.num_classes,
         image_size=args.image_size,
