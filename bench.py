@@ -5,11 +5,14 @@ llm_pretrain.py:228-237 tokens/sec logging): Llama-1B-class model at
 seq_len 2048, full train step (fwd + bwd + AdamW), INT8 dynamic row-wise
 quantization on the forward and BOTH backward matmuls vs the BF16 baseline.
 
-Timing note: per-step host timing with a loss readback every step — the
-readback forces real completion, and at ~1 s/step for the 1B model the
-~25 ms sync overhead through this environment's remote-execution tunnel
-is a few percent (a device-side lax.scan over train steps would be exact
-but crashes the environment's remote compile helper at 1B scale).
+Timing note: sustained throughput — N steps dispatched back-to-back
+(donated state) with one loss readback at the end, the way a real
+training loop runs; a per-step-synced loop is timed as a cross-check and
+the faster of the two is used (each readback costs ~25 ms through this
+environment's remote-execution tunnel, so the synced loop is a lower
+bound for both configs). A device-side lax.scan over train steps would
+need no readbacks at all but crashes the environment's remote compile
+helper at 1B scale.
 
 Prints ONE JSON line:
   value        = INT8-MP training tokens/sec on this chip
@@ -59,11 +62,18 @@ def build_step(cfg_name: str, bs: int, seq: int, scheme: str | None):
 
 
 def measure(cfg_name: str, bs: int, seq: int, scheme: str | None) -> float:
-    """Per-step timing with a loss readback every step — the readback
-    (~25ms through the tunnel) forces real completion; at ~1s/step for the
-    1B model the sync overhead is a few percent. (A device-side scan over
-    steps would be exact but that program crashes this environment's
-    remote compile helper at 1B scale.)"""
+    """Sustained-throughput timing: dispatch N_STEPS train steps
+    back-to-back (state donated step-to-step) with ONE loss readback at
+    the end — how a real training loop runs (llm_pretrain syncs only at
+    log intervals), and how the reference's tok/s logging behaves under
+    CUDA async dispatch. A per-step-synced loop is also timed as a
+    cross-check: each readback costs ~25 ms through this environment's
+    remote-execution tunnel, inflating BOTH configs' step times, so the
+    synced rate is a lower bound. The faster of the two is reported; if
+    chained dispatch did not pipeline (tunnel serialization), the two
+    match and the synced number stands. (A device-side scan over steps
+    would need no readbacks at all but crashes this environment's remote
+    compile helper at 1B scale.)"""
     t0 = time.perf_counter()
     state, step_fn, tokens, labels = build_step(cfg_name, bs, seq, scheme)
     key = jax.random.PRNGKey(2)
@@ -76,10 +86,22 @@ def measure(cfg_name: str, bs: int, seq: int, scheme: str | None) -> float:
         state, m = step_fn(
             state, tokens, labels, 1e-4, jax.random.fold_in(key, 100 + i)
         )
-        l1 = float(m["loss"])  # sync
-    dt = time.perf_counter() - t0
+        l1 = float(m["loss"])  # sync every step
+    dt_synced = (time.perf_counter() - t0) / N_STEPS
     assert jnp.isfinite(l1), l1
-    return bs * seq * N_STEPS / dt
+    t0 = time.perf_counter()
+    for i in range(N_STEPS):
+        state, m = step_fn(
+            state, tokens, labels, 1e-4, jax.random.fold_in(key, 200 + i)
+        )
+    l2 = float(m["loss"])  # single sync for the whole chain
+    dt_chained = (time.perf_counter() - t0) / N_STEPS
+    assert jnp.isfinite(l2), l2
+    log(
+        f"  per-step: synced {dt_synced * 1e3:.1f} ms, "
+        f"chained {dt_chained * 1e3:.1f} ms"
+    )
+    return bs * seq / min(dt_synced, dt_chained)
 
 
 def try_measure(configs, scheme):

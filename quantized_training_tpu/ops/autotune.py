@@ -345,10 +345,16 @@ def measure_xla_scaled(M: int, K: int, N: int, dtype="int8") -> float:
 TRAIN_SHAPES = [
     # llama2-1b bs8 seq2048 training shapes [M, K, N] in the canonical
     # A[M,K] @ B[K,N] form (fwd matmuls contract w along axis 1 and the
-    # grad_input matmuls along axis 0; the SHAPES coincide)
+    # grad_input matmuls along axis 0; those SHAPES coincide)
     (16384, 2048, 2048),   # q/o fwd + their grad_input
     (16384, 2048, 5632),   # gate/up fwd, down grad_input
     (16384, 5632, 2048),   # down fwd, gate/up grad_input
+    # grad_weight matmuls contract over the TOKEN dim (dims=(0, 0) in
+    # scaled_mm_general -> canonical [N_out, M_tok] @ [M_tok, K_in]); these
+    # shapes do NOT coincide with the fwd set
+    (2048, 16384, 2048),   # q/k/v/o grad_weight
+    (5632, 16384, 2048),   # gate/up grad_weight
+    (2048, 16384, 5632),   # down grad_weight
 ]
 
 
