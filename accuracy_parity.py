@@ -114,8 +114,8 @@ def main():
                 state, jnp.asarray(tok), jnp.asarray(lab), args.lr,
                 jax.random.PRNGKey(i),
             )
-            if (i + 1) % 200 == 0:
-                loss = float(metrics["loss"])
+            if (i + 1) % 200 == 0 or i == args.steps - 1:
+                loss = float(metrics["loss"])  # always sampled at the end
                 log(f"  {name}: step {i + 1} loss {loss:.4f}")
 
         trained = quant.merge_masters(

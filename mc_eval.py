@@ -87,15 +87,28 @@ def generate_markov_mc(
         n_samples=n_rows,
     )
     samples = [tok for tok, _ in ds]
+    # enforce the docstring's invariant: a distractor must NOT follow from
+    # this prompt's final state — without the filter ~n_choices*branching/
+    # n_states of rows get a second chain-valid continuation, capping even
+    # a perfect model below 1.0 (the round-3 parity table's uniform 0.990
+    # was partly this ceiling, not model error)
+    tok_to_state = {int(t): s for s, t in enumerate(ds._state_to_tok)}
     rng = np.random.Generator(np.random.PCG64([seed, 0x4D43]))  # "MC"
     rows = []
     for i, toks in enumerate(samples):
         prompt = toks[:prompt_len]
         gold_cont = toks[prompt_len:]
-        # distractors: continuations of n_choices-1 OTHER rows
-        others = rng.choice(
-            [j for j in range(n_rows) if j != i], n_choices - 1, replace=False
-        )
+        last_state = tok_to_state[int(prompt[-1])]
+        valid_next = {
+            int(ds._state_to_tok[s]) for s in ds._succ[last_state]
+        }
+        # distractors: continuations of OTHER rows whose first token is
+        # not a legal successor of this prompt's final state
+        pool = [
+            j for j in range(n_rows)
+            if j != i and int(samples[j][prompt_len]) not in valid_next
+        ]
+        others = rng.choice(pool, n_choices - 1, replace=False)
         conts = [gold_cont] + [samples[j][prompt_len:] for j in others]
         order = rng.permutation(n_choices)
         rows.append(

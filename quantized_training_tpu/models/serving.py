@@ -279,18 +279,23 @@ class Server:
         """Admit a request, or queue it when every slot is busy (queued
         requests are admitted FIFO as slots free up inside step())."""
         n = len(prompt_tokens)
-        limit = min(self.BUCKETS[-1], self.max_len)
+        # max_len - 1: decode writes the slot's next K/V row at pos == n,
+        # so a prompt filling the whole cache could never generate
+        limit = min(self.BUCKETS[-1], self.max_len - 1)
         if not 0 < n <= limit:
             raise ValueError(
                 f"prompt length {n} exceeds limit {limit} "
                 f"(min(largest prefill bucket {self.BUCKETS[-1]}, "
-                f"max_len {self.max_len}))"
+                f"max_len {self.max_len} - 1))"
             )
         rid = self._next_rid
         self._next_rid += 1
-        if not self._free:
+        # keep FIFO: even if a slot is free (e.g. freed by _finish since
+        # the last step), earlier queued requests get it first
+        if self._queue or not self._free:
             self._results[rid] = []
             self._queue.append((rid, list(prompt_tokens), max_new_tokens))
+            self._admit()
             return rid
         self._start(self._free.pop(), rid, prompt_tokens, max_new_tokens)
         return rid

@@ -198,6 +198,11 @@ def sweep_scaled_mm(M: int, K: int, N: int, dtype="int8", verbose=True):
         if verbose:
             print(f"  {bm}x{bn}x{bk}: {tf:.1f} TFLOPS", file=sys.stderr)
     results.sort(key=lambda r: -r[1])
+    if not results:
+        raise RuntimeError(
+            f"no admissible block config for [{M},{K}]x[{K},{N}] "
+            "(shape too small for every candidate, or all compiles failed)"
+        )
     return results[0][0], results[0][1], results
 
 
@@ -236,6 +241,11 @@ def sweep_tile_scaled_mm(M: int, K: int, N: int, qk: int = 128, verbose=True):
             if verbose:
                 print(f"  {bm}x{bn}: {tf:.1f} TFLOPS", file=sys.stderr)
     results.sort(key=lambda r: -r[1])
+    if not results:
+        raise RuntimeError(
+            f"no admissible block config for [{M},{K}]x[{K},{N}] "
+            "(shape too small for every candidate, or all compiles failed)"
+        )
     return results[0][0], results[0][1], results
 
 
@@ -281,6 +291,11 @@ def sweep_scaled_int4_mm(M: int, K: int, N: int, verbose=True):
                 if verbose:
                     print(f"  {bm}x{bn}x{bk}: {tf:.1f} TFLOPS", file=sys.stderr)
     results.sort(key=lambda r: -r[1])
+    if not results:
+        raise RuntimeError(
+            f"no admissible block config for [{M},{K}]x[{K},{N}] "
+            "(shape too small for every candidate, or all compiles failed)"
+        )
     return results[0][0], results[0][1], results
 
 

@@ -86,6 +86,11 @@ def scaled_mm(
     )
 
     if row_col_mode:
+        if a.dtype in _FP8_TYPES or b.dtype in _FP8_TYPES:
+            # no fp8 MXU on v5e; upcast BEFORE backend dispatch (the
+            # Pallas kernel has no fp8 path)
+            a = a.astype(jnp.bfloat16)
+            b = b.astype(jnp.bfloat16)
         use_pallas = _dispatch.backend() == "pallas"
         if not use_pallas and _dispatch.raw_backend() == "tuned" and a.dtype == jnp.int8:
             from .autotune import pallas_wins
@@ -139,6 +144,12 @@ def scaled_mm_general(
     ca, cb = dims
     M = a.shape[1 - ca]
     N = b.shape[1 - cb]
+    if a.dtype in _FP8_TYPES:
+        # no fp8 MXU on v5e — upcast for the dot (same fallback as _mm_f32);
+        # on fp8-capable TPUs XLA consumes the fp8 dot directly. BEFORE any
+        # backend dispatch: the Pallas kernel has no fp8 path.
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
     if _dispatch.backend() == "pallas":
         # Explicit opt-in only: the Pallas kernel takes A[M,K] @ B[K,N], so
         # non-standard contraction dims pay a materialized int8 transpose
@@ -158,11 +169,6 @@ def scaled_mm_general(
             from . import pallas_mm
 
             return pallas_mm.scaled_mm(a, b, scale_a, scale_b, out_dtype=out_dtype)
-    if a.dtype in _FP8_TYPES:
-        # no fp8 MXU on v5e — upcast for the dot (same fallback as _mm_f32);
-        # on fp8-capable TPUs XLA consumes the fp8 dot directly
-        a = a.astype(jnp.bfloat16)
-        b = b.astype(jnp.bfloat16)
     acc = jax.lax.dot_general(
         a, b, (((ca,), (cb,)), ((), ())), preferred_element_type=_accum_dtype(a.dtype)
     ).astype(jnp.float32)

@@ -159,7 +159,7 @@ def _norm_mm_bwd(config, eps, interpret, res, gs):
             w, axis=0, stochastic_rounding=sr, key=kw
         )
         gi = scaled_mm_general(
-            g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=x2d.dtype
+            g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=w.dtype
         )
         dy = gi if dy is None else dy + gi
         grad_ws.append(
@@ -256,7 +256,7 @@ def _silu_mm_bwd(config, interpret, res, g):
     )
     w_col, w_col_s = quantize_int8(w, axis=0, stochastic_rounding=sr, key=kw)
     dy = scaled_mm_general(
-        g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=a2d.dtype
+        g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=w.dtype
     )
     grad_w = scaled_mm_general(
         g_col, y_col, g_col_s, y_col_s, dims=(0, 0), out_dtype=w.dtype
@@ -368,7 +368,7 @@ def _ln_mm_bwd(config, eps, interpret, res, gout):
     )
     w_col, w_col_s = quantize_int8(w, axis=0, stochastic_rounding=sr, key=kw)
     dy = scaled_mm_general(
-        g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=x2d.dtype
+        g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=w.dtype
     )
     grad_w = scaled_mm_general(
         g_col, y_col, g_col_s, y_col_s, dims=(0, 0), out_dtype=w.dtype
@@ -441,7 +441,7 @@ def _gelu_mm_bwd(config, interpret, res, gout):
     )
     w_col, w_col_s = quantize_int8(w, axis=0, stochastic_rounding=sr, key=kw)
     dy = scaled_mm_general(
-        g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=a2d.dtype
+        g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=w.dtype
     )
     grad_w = scaled_mm_general(
         g_col, y_col, g_col_s, y_col_s, dims=(0, 0), out_dtype=w.dtype

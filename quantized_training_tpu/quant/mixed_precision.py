@@ -561,7 +561,7 @@ def _mp_linear_pq_bwd(config, res, g):
         )
         x_col, x_col_s = quantize_int8(x2d, axis=0, stochastic_rounding=sr, key=kx)
         grad_input = scaled_mm_general(
-            g_row, col_q, g_row_s, col_s, dims=(1, 0), out_dtype=x2d.dtype
+            g_row, col_q, g_row_s, col_s, dims=(1, 0), out_dtype=w.dtype
         )
         grad_weight = scaled_mm_general(
             g_col, x_col, g_col_s, x_col_s, dims=(0, 0), out_dtype=w.dtype
@@ -572,7 +572,7 @@ def _mp_linear_pq_bwd(config, res, g):
         kg = _subkey(key, 1) if sr else None
         g_row, g_row_s = quantize_int8(g, axis=1, stochastic_rounding=sr, key=kg)
         grad_input = scaled_mm_general(
-            g_row, col_q, g_row_s, col_s, dims=(1, 0), out_dtype=x2d.dtype
+            g_row, col_q, g_row_s, col_s, dims=(1, 0), out_dtype=w.dtype
         )
     else:
         grad_input = g @ w
@@ -640,12 +640,12 @@ def _mp_linear_shared_pq_bwd(config, res, gs):
             g, stochastic_rounding=sr, key=kg
         )
         gi = scaled_mm_general(
-            g_row, cq, g_row_s, cs, dims=(1, 0), out_dtype=x2d.dtype
+            g_row, cq, g_row_s, cs, dims=(1, 0), out_dtype=ws[i].dtype
         )
         grad_input = gi if grad_input is None else grad_input + gi
         grad_ws.append(
             scaled_mm_general(
-                g_col, x_col, g_col_s, x_col_s, dims=(0, 0), out_dtype=x2d.dtype
+                g_col, x_col, g_col_s, x_col_s, dims=(0, 0), out_dtype=ws[i].dtype
             )
         )
     n = len(grad_ws)

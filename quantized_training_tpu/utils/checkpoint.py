@@ -73,9 +73,12 @@ def _to_numpy(tree, shard_arrays: bool = False):
         # contract).
         best = {}
         for s in x.addressable_shards:
-            cur = best.get(s.index)
+            # key on (start, stop) pairs: slice objects themselves are
+            # only hashable on Python >= 3.12
+            key = tuple((sl.start, sl.stop) for sl in s.index)
+            cur = best.get(key)
             if cur is None or s.replica_id < cur.replica_id:
-                best[s.index] = s
+                best[key] = s
         return ShardedLeaf(
             tuple(x.shape),
             np.dtype(x.dtype).name,

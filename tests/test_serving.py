@@ -97,16 +97,53 @@ def test_queue_when_slots_full():
 
 
 def test_oversized_prompt_rejected():
-    """A prompt longer than min(largest bucket, max_len) raises a clear
-    ValueError (ADVICE r2) instead of StopIteration/trace-shape errors."""
+    """A prompt longer than min(largest bucket, max_len - 1) raises a
+    clear ValueError (ADVICE r2) instead of StopIteration/trace-shape
+    errors; max_len - 1 because decode writes the next K/V row at pos=n,
+    so a cache-filling prompt could never generate."""
     import pytest
 
     params = _params()
     srv = Server(params, CFG, n_slots=2, max_len=32)
-    with pytest.raises(ValueError, match="exceeds limit 32"):
+    with pytest.raises(ValueError, match="exceeds limit 31"):
         srv.add_request(list(range(40)), max_new_tokens=4)
+    with pytest.raises(ValueError, match="exceeds limit 31"):
+        srv.add_request(list(range(32)), max_new_tokens=4)  # == max_len
     with pytest.raises(ValueError):
         srv.add_request([], max_new_tokens=4)
+    # exactly max_len - 1 is admissible and generates without crashing
+    rid = srv.add_request(list(range(1, 32)), max_new_tokens=2)
+    while srv.pending():
+        srv.step()
+    assert len(srv.result(rid)) >= 1
+
+
+def test_fifo_admission_order():
+    """A request added while earlier requests sit in the queue must not
+    jump ahead of them, even when a slot happens to be free (slots freed
+    by _finish stay free until the next step's _admit)."""
+    params = _params()
+    srv = Server(params, CFG, n_slots=1, max_len=64)
+    r0 = srv.add_request([1, 2, 3], max_new_tokens=2)
+    r1 = srv.add_request([4, 5, 6], max_new_tokens=2)  # queued behind r0
+    # step until r0 finishes (its slot is freed mid-step by _finish)
+    while r0 in srv._slot_req.values():
+        srv.step()
+    # r2 arrives AFTER r1 while a slot is free; r1 must get it first
+    r2 = srv.add_request([7, 8, 9], max_new_tokens=3)
+    order = []
+
+    def record():
+        for rid in srv._slot_req.values():
+            if rid not in order:
+                order.append(rid)
+
+    record()  # r1 must have been admitted by add_request's _admit, not r2
+    while srv.pending():
+        srv.step()
+        record()
+    assert order == [r1, r2]
+    assert srv.result(r1) and srv.result(r2)
 
 
 def test_slot_reuse_after_finish():
