@@ -70,6 +70,11 @@ def main() -> None:
     parser.add_argument("--log_interval", type=int, default=50)
     parser.add_argument("--profile", action="store_true")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument(
+        "--cache_dir",
+        help="persistent XLA compilation cache dir (reuses compiles across "
+        "jobs; the quantized configs' one-time compile cost amortizes to "
+        "~0 on re-runs — see compile_report.py)")
     parser.add_argument("--native_loader", action="store_true",
                         help="use the C++ prefetching token loader (make native)")
     args = parser.parse_args()
@@ -78,6 +83,9 @@ def main() -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.cache_dir:
+        jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
 
