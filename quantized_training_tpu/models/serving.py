@@ -270,10 +270,11 @@ class Server:
         self._results: dict[int, list[int]] = {}
         self._budget: dict[int, int] = {}
         self._queue: list[tuple[int, list, int]] = []  # (rid, prompt, budget)
+        self._pending_emit: list[tuple[int, int]] = []  # prefill tokens
         self._next_rid = 0
 
     def pending(self) -> bool:
-        return bool(self._slot_req) or bool(self._queue)
+        return bool(self._slot_req or self._queue or self._pending_emit)
 
     def add_request(self, prompt_tokens, max_new_tokens: int) -> int:
         """Admit a request, or queue it when every slot is busy (queued
@@ -302,7 +303,9 @@ class Server:
 
     def _start(self, slot: int, rid: int, prompt_tokens, max_new_tokens: int):
         n = len(prompt_tokens)
-        bucket = next(b for b in self.BUCKETS if b >= n)
+        # cap at max_len: with a non-power-of-two max_len the next bucket
+        # can exceed the cache and the prefill scatter would be malformed
+        bucket = min(next(b for b in self.BUCKETS if b >= n), self.max_len)
         prompt = np.zeros((1, bucket), np.int32)
         prompt[0, :n] = prompt_tokens
         self.state = self._prefill(
@@ -313,6 +316,7 @@ class Server:
         self._slot_req[slot] = rid
         self._pos_host[slot] = n
         self._results[rid] = [first]
+        self._pending_emit.append((rid, first))  # stream it from step()
         self._budget[rid] = max_new_tokens - 1
         if max_new_tokens <= 1 or first == self.eos:
             self._finish(slot)
@@ -333,15 +337,18 @@ class Server:
         return fn
 
     def step(self):
-        """One decode step for all active slots; returns [(rid, token)]."""
+        """One decode step for all active slots; returns [(rid, token)]
+        — including each request's FIRST token (produced by its prefill),
+        so a streaming consumer sees all max_new_tokens events."""
         self._admit()  # fill any slots freed since the last step
+        emitted = self._pending_emit
+        self._pending_emit = []
         if not self._slot_req:
-            return []
+            return emitted
         # this step writes at each active slot's pos and attends <= pos
         needed = max(self._pos_host[s] for s in self._slot_req) + 1
         self.state, toks = self._decode_for(needed)(self.params, self.state)
         toks = np.asarray(toks)
-        emitted = []
         for slot, rid in list(self._slot_req.items()):
             self._pos_host[slot] += 1
             t = int(toks[slot])

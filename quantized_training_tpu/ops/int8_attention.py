@@ -175,6 +175,9 @@ def quantize_qkv(q: Array, k: Array, v: Array, block_kv: int | None = None):
     (q_i8, q_s [G,S,1], k_i8, k_s [S], v_i8, v_s [S]).
     Rowwise absmax everywhere: q/k scales lie off the QK contraction;
     v row scales are folded into p inside the kernel (see module doc).
+    The softmax temperature hd**-0.5 (models.llama pre-scales q the same
+    way before splash) is folded into q_s — the kernel's rank-1 score
+    rescale applies it for free.
     """
     def row_q(x):
         a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
@@ -187,15 +190,17 @@ def quantize_qkv(q: Array, k: Array, v: Array, block_kv: int | None = None):
     q_i8, q_s = row_q(q)          # q_s [G, S, 1]
     k_i8, k_s = row_q(k)          # k_s [S, 1]
     v_i8, v_s = row_q(v)
+    q_s = q_s * (q.shape[-1] ** -0.5)
     return q_i8, q_s, k_i8, k_s[..., 0], v_i8, v_s[..., 0]
 
 
 def attention_ref(q, k, v, causal=True):
-    """bf16/fp32 oracle (same math as models.llama xla attention, MQA 1-group)."""
+    """bf16/fp32 oracle (same math as models.llama xla attention incl.
+    the hd**-0.5 softmax temperature, MQA 1-group)."""
     G, S, hd = q.shape
     scores = jnp.einsum(
         "gsd,td->gst", q, k, preferred_element_type=jnp.float32
-    )
+    ) * (hd ** -0.5)
     if causal:
         mask = jnp.tril(jnp.ones((S, S), bool))
         scores = jnp.where(mask, scores, -jnp.inf)

@@ -85,12 +85,13 @@ def scaled_mm(
         _is_tensor_scale(scale_b) or scale_b.shape == (1, N)
     )
 
+    if a.dtype in _FP8_TYPES or b.dtype in _FP8_TYPES:
+        # no fp8 MXU on v5e; upcast BEFORE backend dispatch in BOTH scale
+        # modes (neither Pallas kernel has an fp8 path)
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+
     if row_col_mode:
-        if a.dtype in _FP8_TYPES or b.dtype in _FP8_TYPES:
-            # no fp8 MXU on v5e; upcast BEFORE backend dispatch (the
-            # Pallas kernel has no fp8 path)
-            a = a.astype(jnp.bfloat16)
-            b = b.astype(jnp.bfloat16)
         use_pallas = _dispatch.backend() == "pallas"
         if not use_pallas and _dispatch.raw_backend() == "tuned" and a.dtype == jnp.int8:
             from .autotune import pallas_wins

@@ -73,7 +73,10 @@ def schedule_free_adamw(
         lr_max = jnp.maximum(state.lr_max, eff_lr)
         weight = (t**r) * (lr_max**weight_lr_power)
         weight_sum = state.weight_sum + weight
-        ckp1 = weight / weight_sum
+        # weight_sum == 0 (lr 0 so far, e.g. warmup step 0): ckp1 = 0, not
+        # 0/0 = NaN (schedule_free_adamw.py:142-145 catches
+        # ZeroDivisionError for exactly this)
+        ckp1 = jnp.where(weight_sum > 0.0, weight / weight_sum, 0.0)
 
         is8 = lambda x: isinstance(x, OptimState8bit)
 

@@ -153,19 +153,20 @@ def _default_filter(path, leaf) -> bool:
     embedding) stay full precision (llm_pretrain.py:122,
     train_utils.py:36-39).
 
-    Also skips sub-MXU-tile linears (any matmul dim < 128, e.g. a ViT
-    classifier head [num_classes, D]): dynamic int8 cannot win below one
-    hardware tile, and their odd shapes fall off the fused Pallas
-    quantize kernels onto the jnp path, where XLA fuses the quantize
-    chain INTO the int8 dot and lowers it through a ~10x-slower
-    convolution emitter (measured: ViT-Huge int8 went 3.5x SLOWER than
-    bf16 with the head quantized).
+    Also skips sub-MXU-tile linears (any matmul dim < 128 or not a
+    multiple of 32, e.g. ViT classifier heads [45, D] or [1000, D]):
+    dynamic int8 cannot win below one hardware tile, and odd shapes fall
+    off the fused Pallas quantize kernels (whose blocks tile in 32-row
+    steps) onto the jnp path, where XLA fuses the quantize chain INTO the
+    int8 dot and lowers it through a ~10x-slower convolution emitter
+    (measured: ViT-Huge int8 went 3.5x SLOWER than bf16 with the head
+    quantized).
     """
     if any(getattr(p, "key", None) == "lm_head" for p in path):
         return False
     if not _is_linear_weight_path(path):
         return False
-    return all(d >= 128 for d in leaf.shape[-2:])
+    return all(d >= 128 and d % 32 == 0 for d in leaf.shape[-2:])
 
 
 def quantize_params(

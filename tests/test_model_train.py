@@ -173,6 +173,19 @@ class TestOptim:
             np.asarray(pt["w"]), np.asarray(p["w"]), rtol=1e-4, atol=1e-5
         )
 
+    def test_schedule_free_lr0_first_step_stays_finite(self):
+        """An lr=0 first step (any warmup schedule's step 0) must not NaN
+        the params: weight_sum==0 means ckp1=0, not 0/0 (the reference's
+        schedule_free_adamw.py catches ZeroDivisionError for this)."""
+        p = {"w": jax.random.normal(jax.random.PRNGKey(0), (16, 16))}
+        opt = optim.schedule_free_adamw()
+        s = opt.init(p)
+        g = {"w": jax.random.normal(jax.random.PRNGKey(1), (16, 16))}
+        p, s = opt.step(g, s, p, 0.0)
+        assert np.isfinite(np.asarray(p["w"])).all()
+        p, s = opt.step(g, s, p, 1e-2)  # and training proceeds normally
+        assert np.isfinite(np.asarray(p["w"])).all()
+
     def test_schedule_free_decreases_loss(self):
         k = jax.random.PRNGKey(0)
         w_true = jax.random.normal(k, (16,))

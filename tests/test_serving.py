@@ -184,3 +184,30 @@ def test_windowed_decode_crosses_buckets_exactly():
         full.step()
     assert full.result(rid2) == ref
     assert set(full._decode_fns) == {64}
+
+
+def test_non_power_of_two_max_len_bucket_capped():
+    """With a non-power-of-two max_len, a prompt in (bucket/2, max_len)
+    range must not pick a prefill bucket larger than the cache (the
+    dynamic_update_slice would be malformed); the bucket is capped at
+    max_len and generation matches generate()."""
+    params = _params()
+    srv = Server(params, CFG, n_slots=2, max_len=50)
+    prompt = list(range(2, 42))  # 40 tokens: next bucket 64 > max_len 50
+    rid = srv.add_request(prompt, max_new_tokens=6)
+    while srv.pending():
+        srv.step()
+    assert srv.result(rid) == _ref_generate(params, prompt, 6)
+
+
+def test_step_streams_first_token():
+    """step() emits each request's prefill-produced first token, so a
+    streaming consumer sees exactly max_new_tokens events per request."""
+    params = _params()
+    srv = Server(params, CFG, n_slots=2, max_len=64)
+    rid = srv.add_request([3, 14, 15], max_new_tokens=5)
+    events = []
+    while srv.pending():
+        events.extend(srv.step())
+    toks = [t for r, t in events if r == rid]
+    assert toks == srv.result(rid) and len(toks) == 5
