@@ -33,10 +33,14 @@ TUNED_DIR = Path(__file__).parent / "tuned"
 
 _DEFAULTS = {
     "scaled_mm": (1024, 256, 2048),
+    "scaled_mm_lhsT": (256, 256, 2048),  # A[K,M].B[K,N] grad_weight form
+    "scaled_mm_rhsT": (1024, 256, 2048),  # A[M,K].B[N,K] fwd form
     "tile_scaled_mm": (256, 256, 0),  # bk unused (derived from quant blocks)
     "scaled_int4_mm": (512, 512, 1024),  # bk counts PACKED columns
     "matmul": (256, 256, 512),
 }
+
+_DIMS_BY_KERNEL = {"scaled_mm_lhsT": (0, 0), "scaled_mm_rhsT": (1, 1)}
 
 # VMEM working-set budget per config: a/b blocks double-buffered + fp32/int32
 # accumulator + output block. The hard limit is 16 MiB more scoped headroom.
@@ -112,9 +116,17 @@ def candidate_configs(M: int, K: int, N: int, elem: int) -> list[tuple[int, int,
     return out
 
 
-def _time_config(fn, args, flops: float) -> float:
+def _time_config(fn, args, flops: float, fold: str = "slice") -> float:
     """Differential device-loop TFLOPS (benchmark_mm.py methodology,
-    compacted — the output folds into the next iteration's A operand)."""
+    compacted — the output folds into the next iteration's A operand).
+
+    ``fold='slice'`` XORs an [M, K] slice of the output into A (requires
+    out rows == A rows); ``fold='sum'`` reduces the FULL output to a
+    scalar instead — layout-agnostic (used by the transposed-contraction
+    sweeps where A is [K, M]) and immune to slice-narrowing
+    simplification, at the cost of one output HBM pass per iteration
+    (identical for the XLA baseline and the Pallas candidate, so the
+    comparison stays fair)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -133,6 +145,12 @@ def _time_config(fn, args, flops: float) -> float:
         def many(a, *rest):
             def body(i, a):
                 out = fn(a, *rest)
+                if fold == "sum":
+                    s = jnp.sum(out.astype(jnp.float32)) * 1e-9
+                    if a.dtype == jnp.int8:
+                        bit = s.astype(jnp.int32).astype(jnp.int8) | jnp.int8(1)
+                        return a ^ bit
+                    return a + s.astype(a.dtype)
                 K = a.shape[1]
                 folded = out[:, :K].astype(jnp.float32)
                 if folded.shape[1] < K:
@@ -357,6 +375,72 @@ def measure_xla_scaled(M: int, K: int, N: int, dtype="int8") -> float:
     return _time_config(fn, (a, b), 2.0 * M * K * N)
 
 
+def _dims_operands(M, K, N, dims, dt):
+    """Stored-layout int8 operands + per-out-dim scales for a canonical
+    [M,K]@[K,N] GEMM expressed through contraction ``dims``."""
+    import jax
+    import jax.numpy as jnp
+
+    kx, kw = jax.random.split(jax.random.PRNGKey(0))
+    ash = (K, M) if dims[0] == 0 else (M, K)
+    bsh = (K, N) if dims[1] == 0 else (N, K)
+    a = jax.random.randint(kx, ash, -128, 128, jnp.int8)
+    b = jax.random.randint(kw, bsh, -128, 128, jnp.int8)
+    return a, b, jnp.ones((M,), jnp.float32), jnp.ones((N,), jnp.float32)
+
+
+def measure_xla_dims(M: int, K: int, N: int, dims, dtype="int8") -> float:
+    """XLA baseline for the transpose-free contraction forms (the
+    backward matmuls): scaled_mm_general with operands in stored layout,
+    XLA folding the layout into the dot."""
+    import jax.numpy as jnp
+
+    from .scaled_mm import scaled_mm_general
+    from . import _dispatch
+
+    a, b, sa, sb = _dims_operands(M, K, N, dims, jnp.dtype(dtype))
+
+    def fn(a_, b_):
+        with _dispatch.use_backend("xla"):
+            return scaled_mm_general(a_, b_, sa, sb, dims=dims)
+
+    return _time_config(fn, (a, b), 2.0 * M * K * N, fold="sum")
+
+
+def sweep_scaled_mm_dims(M: int, K: int, N: int, dims, dtype="int8",
+                         verbose=True):
+    """Block sweep for scaled_mm_dims (grad_weight / fwd stored-layout
+    forms)."""
+    import jax.numpy as jnp
+
+    from . import pallas_mm
+
+    dt = jnp.dtype(dtype)
+    a, b, sa, sb = _dims_operands(M, K, N, dims, dt)
+
+    results = []
+    for bm, bn, bk in candidate_configs(M, K, N, dt.itemsize):
+        fn = lambda a_, b_: pallas_mm.scaled_mm_dims(
+            a_, b_, sa, sb, dims=dims, block_m=bm, block_n=bn, block_k=bk
+        )
+        try:
+            tf = _time_config(fn, (a, b), 2.0 * M * K * N, fold="sum")
+        except Exception as e:  # config rejected by Mosaic (VMEM etc.)
+            if verbose:
+                print(f"  {bm}x{bn}x{bk}: FAIL {type(e).__name__}", file=sys.stderr)
+            continue
+        results.append(((bm, bn, bk), tf))
+        if verbose:
+            print(f"  {bm}x{bn}x{bk}: {tf:.1f} TFLOPS", file=sys.stderr)
+    results.sort(key=lambda r: -r[1])
+    if not results:
+        raise RuntimeError(
+            f"no admissible block config for [{M},{K}]x[{K},{N}] "
+            "(shape too small for every candidate, or all compiles failed)"
+        )
+    return results[0][0], results[0][1], results
+
+
 TRAIN_SHAPES = [
     # llama2-1b bs8 seq2048 training shapes [M, K, N] in the canonical
     # A[M,K] @ B[K,N] form (fwd matmuls contract w along axis 1 and the
@@ -380,7 +464,8 @@ def main(argv=None):
     p.add_argument("--dtype", default="int8")
     p.add_argument(
         "--kernel", default="scaled_mm",
-        choices=("scaled_mm", "tile_scaled_mm", "scaled_int4_mm"),
+        choices=("scaled_mm", "scaled_mm_lhsT", "scaled_mm_rhsT",
+                 "tile_scaled_mm", "scaled_int4_mm"),
     )
     args = p.parse_args(argv)
 
@@ -394,6 +479,19 @@ def main(argv=None):
             print(f"  xla: {xla_tf:.1f} TFLOPS", file=sys.stderr)
             blocks, tf, _ = sweep_scaled_mm(M, K, N, args.dtype)
             save_entry("scaled_mm", args.dtype, M, K, N, blocks, tf,
+                       xla_tflops=xla_tf)
+            print(
+                f"BEST {M}x{K}x{N}: {blocks} @ {tf:.1f} TFLOPS "
+                f"(xla {xla_tf:.1f} -> {'PALLAS' if tf > xla_tf * 1.03 else 'XLA'})",
+                file=sys.stderr,
+            )
+            continue
+        if args.kernel in _DIMS_BY_KERNEL:
+            dims = _DIMS_BY_KERNEL[args.kernel]
+            xla_tf = measure_xla_dims(M, K, N, dims, args.dtype)
+            print(f"  xla: {xla_tf:.1f} TFLOPS", file=sys.stderr)
+            blocks, tf, _ = sweep_scaled_mm_dims(M, K, N, dims, args.dtype)
+            save_entry(args.kernel, args.dtype, M, K, N, blocks, tf,
                        xla_tflops=xla_tf)
             print(
                 f"BEST {M}x{K}x{N}: {blocks} @ {tf:.1f} TFLOPS "

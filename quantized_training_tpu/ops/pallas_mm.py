@@ -159,6 +159,147 @@ def scaled_mm(
 
 
 # ---------------------------------------------------------------------------
+# scaled_mm_dims: the transpose-free contraction forms of the backward pass
+# ---------------------------------------------------------------------------
+
+
+def _scaled_mm_dims_kernel(a_ref, b_ref, sa_ref, sb_ref, out_ref, acc_ref, *, dims):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    ca, cb = dims
+    acc_ref[:] += jax.lax.dot_general(
+        a_ref[:],
+        b_ref[:],
+        (((ca,), (cb,)), ((), ())),
+        preferred_element_type=acc_ref.dtype,
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        acc = acc_ref[:].astype(jnp.float32)
+        out_ref[:] = (acc * sa_ref[:] * sb_ref[:]).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "out_dtype", "block_m", "block_n", "block_k",
+                     "interpret"),
+)
+def scaled_mm_dims(
+    a: Array,
+    b: Array,
+    scale_a: Array,
+    scale_b: Array,
+    *,
+    dims: tuple[int, int] = (1, 0),
+    out_dtype=jnp.bfloat16,
+    block_m: int | None = None,
+    block_n: int | None = None,
+    block_k: int | None = None,
+    interpret: bool = False,
+) -> Array:
+    """``scaled_mm_general``'s contraction-dims form as a Pallas kernel:
+    the operands stay in their STORED layouts and the contraction dim is
+    folded into the in-kernel dot (Mosaic handles the block-local
+    relayout), so the backward matmuls avoid both a materialized int8
+    transpose (~22 ms for [16384, 2048] s8 on v5e) and XLA's layout
+    choice:
+
+      dims=(0, 0): grad_weight form — A[Kc, M] . B[Kc, N] over the token
+                   dim Kc (autotune kernel name 'scaled_mm_lhsT')
+      dims=(1, 1): fwd/weight-stationary form — A[M, Kc] . B[N, Kc]
+                   ('scaled_mm_rhsT')
+      dims=(1, 0): canonical; delegates to :func:`scaled_mm`
+
+    scale_a is per out-row [M], scale_b per out-col [N] (off the
+    contraction dim, as everywhere in quant/mixed_precision.py).
+    """
+    ca, cb = dims
+    if dims == (1, 0):
+        return scaled_mm(
+            a, b, scale_a, scale_b, out_dtype=out_dtype, block_m=block_m,
+            block_n=block_n, block_k=block_k, interpret=interpret,
+        )
+    assert dims in ((0, 0), (1, 1)), dims
+    M = a.shape[1 - ca]
+    N = b.shape[1 - cb]
+    K = a.shape[ca]
+    assert b.shape[cb] == K, (a.shape, b.shape, dims)
+    if block_m is None or block_n is None or block_k is None:
+        from .autotune import lookup
+
+        name = "scaled_mm_lhsT" if dims == (0, 0) else "scaled_mm_rhsT"
+        tm, tn, tk = lookup(name, M, K, N, a.dtype)
+        block_m, block_n, block_k = block_m or tm, block_n or tn, block_k or tk
+
+    sa = jnp.broadcast_to(
+        jnp.reshape(scale_a.astype(jnp.float32), (-1, 1)), (M, 1)
+    )
+    sb = jnp.broadcast_to(
+        jnp.reshape(scale_b.astype(jnp.float32), (1, -1)), (1, N)
+    )
+
+    bm = min(block_m, _round_up(M, 128))
+    bn = min(block_n, _round_up(N, 128))
+    bk = min(block_k, _round_up(K, 128))
+    Mp, Np, Kp = _round_up(M, bm), _round_up(N, bn), _round_up(K, bk)
+    if dims == (0, 0):
+        a = _pad2(a, Kp, Mp)
+        a_spec = pl.BlockSpec(
+            (bk, bm), lambda i, j, k: (k, i), memory_space=pltpu.VMEM
+        )
+    else:
+        a = _pad2(a, Mp, Kp)
+        a_spec = pl.BlockSpec(
+            (bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM
+        )
+    if cb == 0:
+        b = _pad2(b, Kp, Np)
+        b_spec = pl.BlockSpec(
+            (bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+        )
+    else:
+        b = _pad2(b, Np, Kp)
+        b_spec = pl.BlockSpec(
+            (bn, bk), lambda i, j, k: (j, k), memory_space=pltpu.VMEM
+        )
+    sa = _pad2(sa, Mp, 1)
+    sb = _pad2(sb, 1, Np)
+
+    out = pl.pallas_call(
+        functools.partial(_scaled_mm_dims_kernel, dims=dims),
+        grid=(Mp // bm, Np // bn, Kp // bk),
+        in_specs=[
+            a_spec,
+            b_spec,
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), _acc_dtype(a.dtype))],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * Kp,
+            bytes_accessed=Mp * Kp * a.dtype.itemsize
+            + Kp * Np * b.dtype.itemsize
+            + Mp * Np * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a, b, sa, sb)
+    return out[:M, :N]
+
+
+# ---------------------------------------------------------------------------
 # tile_scaled_mm: two-accumulator DeepSeek-style loop
 # ---------------------------------------------------------------------------
 

@@ -160,16 +160,26 @@ def scaled_mm_general(
         a_std = a if ca == 1 else a.T
         b_std = b if cb == 0 else b.T
         return pallas_mm.scaled_mm(a_std, b_std, scale_a, scale_b, out_dtype=out_dtype)
-    if dims == (1, 0) and _dispatch.raw_backend() == "tuned" and a.dtype == jnp.int8:
-        # per-shape data-driven dispatch: the canonical [M,K]@[K,N] form
-        # (the grad_input matmuls) can route to the tuned Pallas kernel
-        # when the autotune cache has measured it faster than XLA here
+    if _dispatch.raw_backend() == "tuned" and a.dtype == jnp.int8:
+        # per-shape data-driven dispatch: every contraction form routes to
+        # its Pallas kernel when the autotune cache measured it faster
+        # than XLA at this exact shape — the canonical (1,0) grad_input
+        # form via scaled_mm, the stored-layout (0,0) grad_weight /
+        # (1,1) fwd forms via scaled_mm_dims (no materialized transpose)
         from .autotune import pallas_wins
 
-        if pallas_wins("scaled_mm", M, a.shape[ca], N, a.dtype):
+        name = {(1, 0): "scaled_mm", (0, 0): "scaled_mm_lhsT",
+                (1, 1): "scaled_mm_rhsT"}.get(dims)
+        if name and pallas_wins(name, M, a.shape[ca], N, a.dtype):
             from . import pallas_mm
 
-            return pallas_mm.scaled_mm(a, b, scale_a, scale_b, out_dtype=out_dtype)
+            if dims == (1, 0):
+                return pallas_mm.scaled_mm(
+                    a, b, scale_a, scale_b, out_dtype=out_dtype
+                )
+            return pallas_mm.scaled_mm_dims(
+                a, b, scale_a, scale_b, dims=dims, out_dtype=out_dtype
+            )
     acc = jax.lax.dot_general(
         a, b, (((ca,), (cb,)), ((), ())), preferred_element_type=_accum_dtype(a.dtype)
     ).astype(jnp.float32)

@@ -120,3 +120,49 @@ class TestPallasInt4MM:
         with ops.use_backend("pallas"):
             out = ref_fn(a_packed, b_packed, rs, cs, out_dtype=jnp.float32)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+class TestScaledMmDims:
+    """scaled_mm_dims: the stored-layout contraction forms of the backward
+    pass (dims=(0,0) grad_weight, dims=(1,1) fwd) are bit-exact vs the
+    scaled_mm_general XLA composite."""
+
+    def test_dims_forms_exact(self):
+        import numpy as np
+        from quantized_training_tpu.ops.pallas_mm import scaled_mm_dims
+        from quantized_training_tpu.ops.scaled_mm import scaled_mm_general
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        cases = [((0, 0), (384, 256), (384, 128)),
+                 ((1, 1), (256, 384), (128, 384)),
+                 ((1, 0), (256, 384), (384, 128))]
+        for dims, ash, bsh in cases:
+            a = jax.random.randint(k1, ash, -128, 128, jnp.int8)
+            b = jax.random.randint(k2, bsh, -128, 128, jnp.int8)
+            M, N = a.shape[1 - dims[0]], b.shape[1 - dims[1]]
+            sa = jax.random.uniform(k1, (M,), jnp.float32, 0.01, 0.1)
+            sb = jax.random.uniform(k2, (N,), jnp.float32, 0.01, 0.1)
+            ref = scaled_mm_general(a, b, sa, sb, dims=dims,
+                                    out_dtype=jnp.float32)
+            out = scaled_mm_dims(a, b, sa, sb, dims=dims,
+                                 out_dtype=jnp.float32, block_m=128,
+                                 block_n=128, block_k=128, interpret=True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-6)
+
+    def test_non_multiple_shapes_padded(self):
+        import numpy as np
+        from quantized_training_tpu.ops.pallas_mm import scaled_mm_dims
+        from quantized_training_tpu.ops.scaled_mm import scaled_mm_general
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        a = jax.random.randint(k1, (320, 160), -128, 128, jnp.int8)  # [K,M]
+        b = jax.random.randint(k2, (320, 224), -128, 128, jnp.int8)  # [K,N]
+        sa = jax.random.uniform(k1, (160,), jnp.float32, 0.01, 0.1)
+        sb = jax.random.uniform(k2, (224,), jnp.float32, 0.01, 0.1)
+        ref = scaled_mm_general(a, b, sa, sb, dims=(0, 0),
+                                out_dtype=jnp.float32)
+        out = scaled_mm_dims(a, b, sa, sb, dims=(0, 0),
+                             out_dtype=jnp.float32, block_m=128,
+                             block_n=128, block_k=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
