@@ -240,7 +240,9 @@ class Server:
         srv.result(rid)  # full generated token list
     """
 
-    BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+    # prefill pad buckets; _start caps the chosen bucket at max_len, so
+    # prompts up to max_len - 1 are admissible for any max_len <= 8192
+    BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
 
     def __init__(self, params, cfg: llama.LlamaConfig, n_slots: int, max_len: int,
                  eos_token: int | None = None,
