@@ -81,6 +81,11 @@ def main():
     parser.add_argument("--accum", type=int, default=1,
                         help="gradient-accumulation micro-steps (effective "
                         "batch = accum x bs; 2 x bs8 ~ the reference's bs16)")
+    parser.add_argument("--rungs", default=None,
+                        help="comma-separated substring filter over rung names "
+                        "(e.g. 'BF16,grad_weight') — each unmatched rung is "
+                        "skipped; compiles are minutes each on this tunnel, so "
+                        "partial ladders are how A/Bs stay affordable")
     args = parser.parse_args()
 
     from quantized_training_tpu.models import llama
@@ -106,6 +111,10 @@ def main():
     log(f"device: {jax.devices()[0].device_kind}, {args.model} "
         f"bs={args.bs} seq={args.seq} accum={args.accum} "
         f"(reference table: README.md:123-137 on 4070Ti)")
+    if args.rungs:
+        pats = [p.strip() for p in args.rungs.split(",") if p.strip()]
+        rungs = [(n, kw) for n, kw in rungs if any(p in n for p in pats)]
+
     results = []
     base = None
     for name, kw in rungs:

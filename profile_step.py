@@ -72,17 +72,80 @@ def main():
         )
     path = traces[-1]
     pd = jax.profiler.ProfileData.from_serialized_xspace(open(path, "rb").read())
-    agg: dict[str, float] = defaultdict(float)
+
+    import re
+
+    def category(name: str) -> str:
+        """Bucket a leaf HLO event into the step-budget categories.
+
+        Works off the instruction NAME prefix (which carries the traced
+        jit/kernel name) plus operand dtypes in the HLO text — fusion
+        bodies aren't visible in the trace, but an s8 operand on a big
+        fusion is an int8 GEMM (XLA output-fuses the dequant epilogue and
+        the scan's grad DUS into the matmul, so 'GEMM' here includes
+        those epilogues)."""
+        head = name.partition(" = ")[0]
+        base = re.match(r"%([\w\-]+)", head)
+        base = base.group(1) if base else head
+        if "splash" in base or base.startswith("pallas_call"):
+            return "attention kernels (splash fwd/bwd)"
+        if base.startswith(("jit_fused_adamw", "fused_adamw")):
+            return "optimizer (fused adamw)"
+        if base.startswith(
+            ("jit_quantize", "quantize_int8", "jit_rmsnorm", "rmsnorm_quant",
+             "jit_silu", "silu_mul_quant", "jit_layer_norm", "layer_norm_quant",
+             "jit_gelu", "gelu_quant")
+        ):
+            return "quantize + fused-producer kernels"
+        if base.startswith("while"):
+            return "scan wrapper self-time"
+        if ("copy-start" in base or "copy-done" in base or "slice-start" in base
+                or "slice-done" in base):
+            return "async DMA self-time (overlapped)"
+        rest = name.partition(" = ")[2]
+        if "fusion" in base and re.search(r"[(,] ?s8\[", rest):
+            return "int8 GEMM fusions (fwd/dgrad/wgrad + fused epilogues)"
+        if "convolution" in base or re.match(r"dot\b", base):
+            return "bf16 matmul (lm_head / embed / unquantized)"
+        if re.search(r"bf16\[\d+,\d+,2048,64\]|f32\[\d+,\d+,\d+,2048[,\]]", name):
+            return "attention-adjacent (rope / head layouts / residual stacking)"
+        return "other (elementwise, norm-bwd, loss scan, bookkeeping)"
+
+    # Exclusive self-time: 'XLA Ops' events nest (while wrappers span the
+    # per-iteration leaf ops), so walk the interval stack and subtract
+    # children from their parents — the categorized totals then sum to
+    # the device step time exactly.
+    cats: dict[str, float] = defaultdict(float)
+    ops: dict[str, float] = defaultdict(float)
+    n_steps_traced = 2
     for plane in pd.planes:
-        if "TPU" not in plane.name:
+        if plane.name != "/device:TPU:0":
             continue
         for line in plane.lines:
-            for ev in line.events:
-                agg[ev.name] += ev.duration_ns / 1e6
+            if line.name != "XLA Ops":
+                continue
+            evs = sorted(line.events, key=lambda e: (e.start_ns, -e.duration_ns))
+            stack: list[tuple[int, str, str]] = []
+            for ev in evs:
+                while stack and ev.start_ns >= stack[-1][0]:
+                    stack.pop()
+                if stack:
+                    cats[stack[-1][1]] -= ev.duration_ns / 1e6
+                    ops[stack[-1][2]] -= ev.duration_ns / 1e6
+                c = category(ev.name)
+                cats[c] += ev.duration_ns / 1e6
+                ops[ev.name] += ev.duration_ns / 1e6
+                stack.append((ev.end_ns, c, ev.name))
+
     print(f"trace: {path}")
-    print(f"{'ms/step':>9}  op")
-    for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[: args.top]:
-        print(f"{ms / 2:9.1f}  {name[:140]}")
+    print(f"\n{'ms/step':>9}  step budget (exclusive device time)")
+    for name, ms in sorted(cats.items(), key=lambda kv: -kv[1]):
+        if ms > 0.05:
+            print(f"{ms / n_steps_traced:9.1f}  {name}")
+    print(f"{sum(cats.values()) / n_steps_traced:9.1f}  TOTAL")
+    print(f"\n{'ms/step':>9}  top ops (exclusive)")
+    for name, ms in sorted(ops.items(), key=lambda kv: -kv[1])[: args.top]:
+        print(f"{ms / n_steps_traced:9.1f}  {name[:140]}")
 
 
 if __name__ == "__main__":
