@@ -108,15 +108,28 @@ def _silu_mul_block(a_ref, b_ref):
     return af * jax.nn.sigmoid(af) * b_ref[:].astype(jnp.float32)
 
 
-def _quant_row_block(y, seed_ref, q_ref, s_ref, *, eps, sr, pid):
+def _quant_row_block(y, seed_ref, q_ref, s_ref, *, eps, sr, pid,
+                     amax_ref=None):
     if sr:
         pltpu.prng_seed(_block_seed(seed_ref, pid))
     yf = y.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(yf), axis=1, keepdims=True)
+    ya = jnp.abs(yf)
+    absmax = jnp.max(ya, axis=1, keepdims=True)
     scale = absmax * (1.0 / 127.0)
     q = _round_op(yf * _inv_scale(scale, eps), sr)
     q_ref[:] = jnp.clip(q, -128, 127).astype(jnp.int8)
     s_ref[:] = scale
+    if amax_ref is not None:
+        # column absmax accumulated across the (sequential) row-block
+        # grid: a free extra output that lets the BACKWARD's colwise
+        # quantize skip its amax pass (one fewer full read of the inputs)
+        @pl.when(pid == 0)
+        def _():
+            amax_ref[:] = jnp.zeros_like(amax_ref)
+
+        amax_ref[:] = jnp.maximum(
+            amax_ref[:], jnp.max(ya, axis=0, keepdims=True)
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -124,17 +137,19 @@ def _quant_row_block(y, seed_ref, q_ref, s_ref, *, eps, sr, pid):
 # ---------------------------------------------------------------------------
 
 
-def _make_norm_row_kernel(norm_eps, eps, sr):
-    def kernel(x_ref, g_ref, seed_ref, q_ref, s_ref):
+def _make_norm_row_kernel(norm_eps, eps, sr, with_col_amax):
+    def kernel(x_ref, g_ref, seed_ref, q_ref, s_ref, *rest):
         y = _norm_block(x_ref, g_ref, norm_eps)
         _quant_row_block(y, seed_ref, q_ref, s_ref, eps=eps, sr=sr,
-                         pid=pl.program_id(0))
+                         pid=pl.program_id(0),
+                         amax_ref=rest[0] if with_col_amax else None)
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("norm_eps", "eps", "sr", "interpret")
+    jax.jit,
+    static_argnames=("norm_eps", "eps", "sr", "interpret", "with_col_amax"),
 )
 def rmsnorm_quant_rowwise(
     x: Array,
@@ -145,37 +160,50 @@ def rmsnorm_quant_rowwise(
     eps: float = _EPS,
     sr: bool = False,
     interpret: bool = False,
+    with_col_amax: bool = False,
 ):
     """quantize_int8(rms_norm(x, g), axis=1) in ONE HBM read of x.
 
     x [M, K] (rows fully resident per block — K must fit the VMEM block
     budget; callers check :func:`supported`), g [K].
-    Returns (q int8 [M,K], scale f32 [M,1]).
+    Returns (q int8 [M,K], scale f32 [M,1]); with ``with_col_amax`` also
+    the column absmax f32 [1,K] of the SAME norm values, so a later
+    colwise quantize (grad_weight operand) can skip its amax pass.
     """
     M, K = x.shape
     seed = _as_seed(seed)
     bm = _pick_block(M, K, elem_bytes=x.dtype.itemsize)
     if bm is None:
         raise ValueError(f"no row blocks for shape {x.shape}")
-    q, s = pl.pallas_call(
-        _make_norm_row_kernel(norm_eps, eps, sr),
+    out_specs = [
+        pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((M, K), jnp.int8),
+        jax.ShapeDtypeStruct((M, 1), jnp.float32),
+    ]
+    if with_col_amax:
+        out_specs.append(
+            pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((1, K), jnp.float32))
+    out = pl.pallas_call(
+        _make_norm_row_kernel(norm_eps, eps, sr, with_col_amax),
         grid=(M // bm,),
         in_specs=[
             pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
             _seed_spec(),
         ],
-        out_specs=[
-            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((M, K), jnp.int8),
-            jax.ShapeDtypeStruct((M, 1), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
         interpret=interpret,
     )(x, g, seed)
-    return q, s
+    return tuple(out)
 
 
 # ---------------------------------------------------------------------------
@@ -224,8 +252,11 @@ def rmsnorm_quant_colwise(
     eps: float = _EPS,
     sr: bool = False,
     interpret: bool = False,
+    scale: Array | None = None,
 ):
-    """quantize_int8(rms_norm(x, g), axis=0) in TWO HBM reads of x.
+    """quantize_int8(rms_norm(x, g), axis=0) in TWO HBM reads of x —
+    or ONE when ``scale`` [1,K] is supplied (the forward's col_amax/127,
+    see rmsnorm_quant_rowwise(with_col_amax=True)).
 
     Returns (q int8 [M,K], scale f32 [1,K])."""
     M, K = x.shape
@@ -233,21 +264,22 @@ def rmsnorm_quant_colwise(
     bm = _pick_block(M, K, elem_bytes=x.dtype.itemsize)
     if bm is None:
         raise ValueError(f"no row blocks for shape {x.shape}")
-    amax = pl.pallas_call(
-        _make_norm_col_amax_kernel(norm_eps),
-        grid=(M // bm,),
-        in_specs=[
-            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, K), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=interpret,
-    )(x, g)
-    scale = amax * (1.0 / 127.0)
+    if scale is None:
+        amax = pl.pallas_call(
+            _make_norm_col_amax_kernel(norm_eps),
+            grid=(M // bm,),
+            in_specs=[
+                pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, K), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(x, g)
+        scale = amax * (1.0 / 127.0)
     q = pl.pallas_call(
         _make_norm_col_scale_kernel(norm_eps, eps, sr),
         grid=(M // bm,),
@@ -269,16 +301,27 @@ def rmsnorm_quant_colwise(
 # ---------------------------------------------------------------------------
 
 
-def _make_silu_row_kernel(eps, sr):
-    def kernel(a_ref, b_ref, seed_ref, q_ref, s_ref):
+def _make_silu_row_kernel(eps, sr, with_col_amax):
+    def kernel(a_ref, b_ref, seed_ref, q_ref, s_ref, *rest):
         y = _silu_mul_block(a_ref, b_ref)
         _quant_row_block(y, seed_ref, q_ref, s_ref, eps=eps, sr=sr,
-                         pid=pl.program_id(0))
+                         pid=pl.program_id(0),
+                         amax_ref=rest[0] if with_col_amax else None)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "sr", "interpret"))
+# VMEM input budget for the two-input silu kernels: 64-row blocks at
+# K=5632 measured 405 vs 391 GB/s for the 32-row blocks the default 1 MB
+# budget picks (the chain is VPU-bound on the sigmoid, so bigger blocks
+# only trim pipeline overhead; 256-row blocks blow the 16 MB scoped VMEM
+# limit with the doubled-buffered f32 temporaries and fail to compile).
+_SILU_VMEM_BUDGET = 1536 * 1024
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "sr", "interpret", "with_col_amax")
+)
 def silu_mul_quant_rowwise(
     a: Array,
     b: Array,
@@ -287,35 +330,50 @@ def silu_mul_quant_rowwise(
     eps: float = _EPS,
     sr: bool = False,
     interpret: bool = False,
+    with_col_amax: bool = False,
 ):
     """quantize_int8(silu(a) * b, axis=1) reading a and b ONCE.
 
-    a, b [M, K]; returns (q int8 [M,K], scale f32 [M,1])."""
+    a, b [M, K]; returns (q int8 [M,K], scale f32 [M,1]); with
+    ``with_col_amax`` also the column absmax f32 [1,K] of the same
+    product values (lets the backward's colwise quantize skip its amax
+    pass — one fewer full read of a and b)."""
     M, K = a.shape
     seed = _as_seed(seed)
     # two resident input blocks -> account double the bytes per element
-    bm = _pick_block(M, K, elem_bytes=2 * a.dtype.itemsize)
+    bm = _pick_block(M, K, elem_bytes=2 * a.dtype.itemsize,
+                     vmem_budget=_SILU_VMEM_BUDGET)
     if bm is None:
         raise ValueError(f"no row blocks for shape {a.shape}")
-    q, s = pl.pallas_call(
-        _make_silu_row_kernel(eps, sr),
+    out_specs = [
+        pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((M, K), jnp.int8),
+        jax.ShapeDtypeStruct((M, 1), jnp.float32),
+    ]
+    if with_col_amax:
+        out_specs.append(
+            pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((1, K), jnp.float32))
+    out = pl.pallas_call(
+        _make_silu_row_kernel(eps, sr, with_col_amax),
         grid=(M // bm,),
         in_specs=[
             pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
             _seed_spec(),
         ],
-        out_specs=[
-            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((M, K), jnp.int8),
-            jax.ShapeDtypeStruct((M, 1), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
         interpret=interpret,
     )(a, b, seed)
-    return q, s
+    return tuple(out)
 
 
 def _make_silu_col_amax_kernel():
@@ -356,30 +414,35 @@ def silu_mul_quant_colwise(
     eps: float = _EPS,
     sr: bool = False,
     interpret: bool = False,
+    scale: Array | None = None,
 ):
-    """quantize_int8(silu(a) * b, axis=0) in two reads of (a, b).
+    """quantize_int8(silu(a) * b, axis=0) in two reads of (a, b) — or
+    ONE when ``scale`` [1,K] is supplied (the forward's col_amax/127,
+    see silu_mul_quant_rowwise(with_col_amax=True)).
 
     Returns (q int8 [M,K], scale f32 [1,K])."""
     M, K = a.shape
     seed = _as_seed(seed)
-    bm = _pick_block(M, K, elem_bytes=2 * a.dtype.itemsize)
+    bm = _pick_block(M, K, elem_bytes=2 * a.dtype.itemsize,
+                     vmem_budget=_SILU_VMEM_BUDGET)
     if bm is None:
         raise ValueError(f"no row blocks for shape {a.shape}")
-    amax = pl.pallas_call(
-        _make_silu_col_amax_kernel(),
-        grid=(M // bm,),
-        in_specs=[
-            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, K), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=interpret,
-    )(a, b)
-    scale = amax * (1.0 / 127.0)
+    if scale is None:
+        amax = pl.pallas_call(
+            _make_silu_col_amax_kernel(),
+            grid=(M // bm,),
+            in_specs=[
+                pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, K), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(a, b)
+        scale = amax * (1.0 / 127.0)
     q = pl.pallas_call(
         _make_silu_col_scale_kernel(eps, sr),
         grid=(M // bm,),
@@ -447,13 +510,16 @@ def _gelu_block(a_ref):
 
 
 def _producer_quant_call(
-    producer, inputs, M, K, bm, seed, *, eps, sr, axis, interpret, salt
+    producer, inputs, M, K, bm, seed, *, eps, sr, axis, interpret, salt,
+    with_col_amax=False, scale=None,
 ):
     """Shared row/col quantize driver around an in-kernel producer.
 
     ``producer(refs) -> f32 [bm, K] block``; ``inputs`` are the [M, K]
-    (or [1, K]) arrays it reads. axis=1: one pass, per-row scales.
-    axis=0: two passes (col absmax accumulate, then scale+cast)."""
+    (or [1, K]) arrays it reads. axis=1: one pass, per-row scales
+    (``with_col_amax`` adds the col absmax [1,K] as a third output).
+    axis=0: two passes (col absmax accumulate, then scale+cast), or one
+    pass when ``scale`` [1,K] is supplied."""
     n = len(inputs)
     in_specs = [
         pl.BlockSpec(
@@ -469,24 +535,37 @@ def _producer_quant_call(
         def row_kernel(*refs):
             seed_ref, q_ref, s_ref = refs[n], refs[n + 1], refs[n + 2]
             y = producer(refs[:n])
-            _quant_row_block(y, seed_ref, q_ref, s_ref, eps=eps, sr=sr,
-                             pid=pl.program_id(0))
+            _quant_row_block(
+                y, seed_ref, q_ref, s_ref, eps=eps, sr=sr,
+                pid=pl.program_id(0),
+                amax_ref=refs[n + 3] if with_col_amax else None,
+            )
 
-        q, s = pl.pallas_call(
+        out_specs = [
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((M, K), jnp.int8),
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+        ]
+        if with_col_amax:
+            out_specs.append(
+                pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            )
+            out_shape.append(jax.ShapeDtypeStruct((1, K), jnp.float32))
+        out = pl.pallas_call(
             row_kernel,
             grid=(M // bm,),
             in_specs=in_specs + [_seed_spec()],
-            out_specs=[
-                pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((M, K), jnp.int8),
-                jax.ShapeDtypeStruct((M, 1), jnp.float32),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
             interpret=interpret,
         )(*inputs, seed)
-        return q, s
+        return tuple(out)
 
     def amax_kernel(*refs):
         amax_ref = refs[n]
@@ -501,18 +580,19 @@ def _producer_quant_call(
             amax_ref[:], jnp.max(jnp.abs(y), axis=0, keepdims=True)
         )
 
-    amax = pl.pallas_call(
-        amax_kernel,
-        grid=(M // bm,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, K), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=interpret,
-    )(*inputs)
-    scale = amax * (1.0 / 127.0)
+    if scale is None:
+        amax = pl.pallas_call(
+            amax_kernel,
+            grid=(M // bm,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, K), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(*inputs)
+        scale = amax * (1.0 / 127.0)
 
     def scale_kernel(*refs):
         seed_ref, s_ref, q_ref = refs[n], refs[n + 1], refs[n + 2]
@@ -540,7 +620,9 @@ def _producer_quant_call(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("axis", "norm_eps", "eps", "sr", "interpret")
+    jax.jit,
+    static_argnames=("axis", "norm_eps", "eps", "sr", "interpret",
+                     "with_col_amax"),
 )
 def layernorm_quant(
     x: Array,
@@ -553,10 +635,13 @@ def layernorm_quant(
     eps: float = _EPS,
     sr: bool = False,
     interpret: bool = False,
+    with_col_amax: bool = False,
+    scale: Array | None = None,
 ):
     """quantize_int8(layer_norm(x, g, b), axis) with the norm in-kernel.
 
-    x [M,K]; g, b [1,K]. axis=1: one HBM read; axis=0: two."""
+    x [M,K]; g, b [1,K]. axis=1: one HBM read (``with_col_amax`` adds
+    the col absmax [1,K]); axis=0: two, or one given ``scale``."""
     M, K = x.shape
     bm = _pick_block(M, K, elem_bytes=x.dtype.itemsize)
     if bm is None:
@@ -565,11 +650,13 @@ def layernorm_quant(
         lambda refs: _ln_block(refs[0], refs[1], refs[2], norm_eps),
         (x, g, b), M, K, bm, _as_seed(seed),
         eps=eps, sr=sr, axis=axis, interpret=interpret, salt=17,
+        with_col_amax=with_col_amax, scale=scale,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("axis", "eps", "sr", "interpret")
+    jax.jit,
+    static_argnames=("axis", "eps", "sr", "interpret", "with_col_amax")
 )
 def gelu_quant(
     a: Array,
@@ -579,6 +666,8 @@ def gelu_quant(
     eps: float = _EPS,
     sr: bool = False,
     interpret: bool = False,
+    with_col_amax: bool = False,
+    scale: Array | None = None,
 ):
     """quantize_int8(gelu(a), axis) with the activation in-kernel."""
     M, K = a.shape
@@ -589,4 +678,5 @@ def gelu_quant(
         lambda refs: _gelu_block(refs[0]),
         (a,), M, K, bm, _as_seed(seed),
         eps=eps, sr=sr, axis=axis, interpret=interpret, salt=19,
+        with_col_amax=with_col_amax, scale=scale,
     )

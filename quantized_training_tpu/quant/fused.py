@@ -104,13 +104,15 @@ def _rmsnorm_bwd_math(x2d: Array, gamma: Array, dy: Array, eps: float):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _norm_mm(config, eps: float, interpret: bool, x2d, gamma, ws, key):
+def _norm_mm_impl(config, eps, interpret, x2d, gamma, ws, key):
     sr = config.stochastic_rounding
     seed = _kseed(_sub(key, 0)) if sr else None
-    y_row, y_row_s = pf.rmsnorm_quant_rowwise(
+    # with_col_amax: the rowwise kernel also accumulates the col absmax
+    # of the SAME norm values, so the backward's colwise quantize needs
+    # only ONE pass over x (scale precomputed) instead of two
+    y_row, y_row_s, col_amax = pf.rmsnorm_quant_rowwise(
         x2d, gamma.reshape(1, -1), seed, norm_eps=eps, sr=sr,
-        interpret=interpret,
+        interpret=interpret, with_col_amax=True,
     )
     y_row_s = y_row_s.astype(x2d.dtype)
     outs = []
@@ -125,24 +127,29 @@ def _norm_mm(config, eps: float, interpret: bool, x2d, gamma, ws, key):
                 out_dtype=x2d.dtype,
             )
         )
-    return tuple(outs)
+    return tuple(outs), col_amax
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _norm_mm(config, eps: float, interpret: bool, x2d, gamma, ws, key):
+    return _norm_mm_impl(config, eps, interpret, x2d, gamma, ws, key)[0]
 
 
 def _norm_mm_fwd(config, eps, interpret, x2d, gamma, ws, key):
-    return _norm_mm(config, eps, interpret, x2d, gamma, ws, key), (
-        x2d, gamma, ws, key,
-    )
+    outs, col_amax = _norm_mm_impl(config, eps, interpret, x2d, gamma, ws, key)
+    return outs, (x2d, gamma, ws, key, col_amax)
 
 
 def _norm_mm_bwd(config, eps, interpret, res, gs):
-    x2d, gamma, ws, key = res
+    x2d, gamma, ws, key, col_amax = res
     sr = config.stochastic_rounding
     seed = _kseed(_sub(key, 2)) if sr else None
     # colwise-quantized norm output for grad_weight, fused: the bf16 norm
-    # output is never materialized in the backward either
+    # output is never materialized in the backward either, and the col
+    # scale comes from the forward's amax (ONE pass instead of two)
     y_col, y_col_s = pf.rmsnorm_quant_colwise(
         x2d, gamma.reshape(1, -1), seed, norm_eps=eps, sr=sr,
-        interpret=interpret,
+        interpret=interpret, scale=col_amax * (1.0 / 127.0),
     )
     y_col_s = y_col_s.astype(x2d.dtype)
     dy = None
@@ -220,32 +227,40 @@ def norm_linear_multi(x, gamma, weights, eps, *, key=None):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _silu_mm(config, interpret: bool, a2d, b2d, w, key):
+def _silu_mm_impl(config, interpret, a2d, b2d, w, key):
     sr = config.stochastic_rounding
     seed = _kseed(_sub(key, 0)) if sr else None
-    y_row, y_row_s = pf.silu_mul_quant_rowwise(
-        a2d, b2d, seed, sr=sr, interpret=interpret
+    y_row, y_row_s, col_amax = pf.silu_mul_quant_rowwise(
+        a2d, b2d, seed, sr=sr, interpret=interpret, with_col_amax=True
     )
     y_row_s = y_row_s.astype(a2d.dtype)
     kw = _sub(key, 1) if sr else None
     w_row, w_row_s = quantize_int8(w, axis=1, stochastic_rounding=sr, key=kw)
-    return scaled_mm_general(
+    out = scaled_mm_general(
         y_row, w_row, y_row_s, w_row_s, dims=(1, 1), out_dtype=a2d.dtype
     )
+    return out, col_amax
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _silu_mm(config, interpret: bool, a2d, b2d, w, key):
+    return _silu_mm_impl(config, interpret, a2d, b2d, w, key)[0]
 
 
 def _silu_mm_fwd(config, interpret, a2d, b2d, w, key):
-    return _silu_mm(config, interpret, a2d, b2d, w, key), (a2d, b2d, w, key)
+    out, col_amax = _silu_mm_impl(config, interpret, a2d, b2d, w, key)
+    return out, (a2d, b2d, w, key, col_amax)
 
 
 def _silu_mm_bwd(config, interpret, res, g):
-    a2d, b2d, w, key = res
+    a2d, b2d, w, key, col_amax = res
     g = g.astype(a2d.dtype)
     sr = config.stochastic_rounding
     seed = _kseed(_sub(key, 2)) if sr else None
+    # col scale from the forward's amax -> ONE read of (a, b), not two
     y_col, y_col_s = pf.silu_mul_quant_colwise(
-        a2d, b2d, seed, sr=sr, interpret=interpret
+        a2d, b2d, seed, sr=sr, interpret=interpret,
+        scale=col_amax * (1.0 / 127.0),
     )
     y_col_s = y_col_s.astype(a2d.dtype)
     kg = kw = None
@@ -328,36 +343,41 @@ def _layernorm_bwd_math(x2d, g, b, dy, eps):
     return dx.astype(x2d.dtype), dg.astype(g.dtype), db.astype(b.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _ln_mm(config, eps: float, interpret: bool, x2d, g, b, w, key):
+def _ln_mm_impl(config, eps, interpret, x2d, g, b, w, key):
     sr = config.stochastic_rounding
     seed = _kseed(_sub(key, 0)) if sr else None
-    y_row, y_row_s = pf.layernorm_quant(
+    y_row, y_row_s, col_amax = pf.layernorm_quant(
         x2d, g.reshape(1, -1), b.reshape(1, -1), seed, axis=1,
-        norm_eps=eps, sr=sr, interpret=interpret,
+        norm_eps=eps, sr=sr, interpret=interpret, with_col_amax=True,
     )
     y_row_s = y_row_s.astype(x2d.dtype)
     kw = _sub(key, 1) if sr else None
     w_row, w_row_s = quantize_int8(w, axis=1, stochastic_rounding=sr, key=kw)
-    return scaled_mm_general(
+    out = scaled_mm_general(
         y_row, w_row, y_row_s, w_row_s, dims=(1, 1), out_dtype=x2d.dtype
     )
+    return out, col_amax
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _ln_mm(config, eps: float, interpret: bool, x2d, g, b, w, key):
+    return _ln_mm_impl(config, eps, interpret, x2d, g, b, w, key)[0]
 
 
 def _ln_mm_fwd(config, eps, interpret, x2d, g, b, w, key):
-    return _ln_mm(config, eps, interpret, x2d, g, b, w, key), (
-        x2d, g, b, w, key,
-    )
+    out, col_amax = _ln_mm_impl(config, eps, interpret, x2d, g, b, w, key)
+    return out, (x2d, g, b, w, key, col_amax)
 
 
 def _ln_mm_bwd(config, eps, interpret, res, gout):
-    x2d, g, b, w, key = res
+    x2d, g, b, w, key, col_amax = res
     gout = gout.astype(x2d.dtype)
     sr = config.stochastic_rounding
     seed = _kseed(_sub(key, 2)) if sr else None
     y_col, y_col_s = pf.layernorm_quant(
         x2d, g.reshape(1, -1), b.reshape(1, -1), seed, axis=0,
         norm_eps=eps, sr=sr, interpret=interpret,
+        scale=col_amax * (1.0 / 127.0),
     )
     y_col_s = y_col_s.astype(x2d.dtype)
     kg = kw = None
@@ -405,32 +425,39 @@ def layernorm_linear(x, g, b, w, eps, *, bias=None, key=None):
     return out if bias is None else out + bias
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _gelu_mm(config, interpret: bool, a2d, w, key):
+def _gelu_mm_impl(config, interpret, a2d, w, key):
     sr = config.stochastic_rounding
     seed = _kseed(_sub(key, 0)) if sr else None
-    y_row, y_row_s = pf.gelu_quant(
-        a2d, seed, axis=1, sr=sr, interpret=interpret
+    y_row, y_row_s, col_amax = pf.gelu_quant(
+        a2d, seed, axis=1, sr=sr, interpret=interpret, with_col_amax=True
     )
     y_row_s = y_row_s.astype(a2d.dtype)
     kw = _sub(key, 1) if sr else None
     w_row, w_row_s = quantize_int8(w, axis=1, stochastic_rounding=sr, key=kw)
-    return scaled_mm_general(
+    out = scaled_mm_general(
         y_row, w_row, y_row_s, w_row_s, dims=(1, 1), out_dtype=a2d.dtype
     )
+    return out, col_amax
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gelu_mm(config, interpret: bool, a2d, w, key):
+    return _gelu_mm_impl(config, interpret, a2d, w, key)[0]
 
 
 def _gelu_mm_fwd(config, interpret, a2d, w, key):
-    return _gelu_mm(config, interpret, a2d, w, key), (a2d, w, key)
+    out, col_amax = _gelu_mm_impl(config, interpret, a2d, w, key)
+    return out, (a2d, w, key, col_amax)
 
 
 def _gelu_mm_bwd(config, interpret, res, gout):
-    a2d, w, key = res
+    a2d, w, key, col_amax = res
     gout = gout.astype(a2d.dtype)
     sr = config.stochastic_rounding
     seed = _kseed(_sub(key, 2)) if sr else None
     y_col, y_col_s = pf.gelu_quant(
-        a2d, seed, axis=0, sr=sr, interpret=interpret
+        a2d, seed, axis=0, sr=sr, interpret=interpret,
+        scale=col_amax * (1.0 / 127.0),
     )
     y_col_s = y_col_s.astype(a2d.dtype)
     kg = kw = None

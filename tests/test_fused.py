@@ -356,3 +356,39 @@ def test_vit_train_step_fused_vs_unfused():
     lf = losses("interpret")
     lu = losses("off")
     np.testing.assert_allclose(lf, lu, rtol=3e-2)
+
+
+def test_col_amax_forwarding_exact():
+    """The forward rowwise kernels' col_amax output must equal the 2-pass
+    amax, and the scale-supplied colwise pass must reproduce the 2-pass
+    colwise quantize bit-exactly (the backward relies on this)."""
+    # silu site
+    a, b = _mk((256, 512), 14), _mk((256, 512), 15)
+    q_r, s_r, amax = pf.silu_mul_quant_rowwise(
+        a, b, interpret=True, with_col_amax=True
+    )
+    q2, s2 = pf.silu_mul_quant_colwise(a, b, interpret=True)
+    q1, s1 = pf.silu_mul_quant_colwise(
+        a, b, interpret=True, scale=amax * (1.0 / 127.0)
+    )
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    # rowwise outputs unchanged by the extra amax output
+    q_r0, s_r0 = pf.silu_mul_quant_rowwise(a, b, interpret=True)
+    np.testing.assert_array_equal(np.asarray(q_r), np.asarray(q_r0))
+
+    # norm site
+    x = _mk((256, 384), 16)
+    g = (1 + 0.1 * _mk((384,), 17, jnp.float32)).astype(jnp.bfloat16)
+    _, _, amax_n = pf.rmsnorm_quant_rowwise(
+        x, g.reshape(1, -1), norm_eps=EPS, interpret=True, with_col_amax=True
+    )
+    qn2, sn2 = pf.rmsnorm_quant_colwise(
+        x, g.reshape(1, -1), norm_eps=EPS, interpret=True
+    )
+    qn1, sn1 = pf.rmsnorm_quant_colwise(
+        x, g.reshape(1, -1), norm_eps=EPS, interpret=True,
+        scale=amax_n * (1.0 / 127.0),
+    )
+    np.testing.assert_array_equal(np.asarray(qn1), np.asarray(qn2))
+    np.testing.assert_array_equal(np.asarray(sn1), np.asarray(sn2))
