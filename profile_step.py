@@ -54,6 +54,9 @@ def main():
     def sync(m):
         np.asarray(jax.device_get(m["loss"]))
 
+    # lower BEFORE running: step_fn donates state, and .lower() on donated
+    # (deleted) arrays is unreliable; compile() later is a cache hit
+    lowered = step_fn.lower(state, tokens, labels, 1e-4, key)
     state, m = step_fn(state, tokens, labels, 1e-4, key)
     sync(m)
     print("compiled; tracing 2 steps...", file=sys.stderr, flush=True)
@@ -75,17 +78,29 @@ def main():
 
     import re
 
-    def category(name: str) -> str:
-        """Bucket a leaf HLO event into the step-budget categories.
+    # Classify ops against the compiled HLO: the trace's event names
+    # truncate operand lists, which mislabels the wgrad GEMMs that XLA
+    # output-fuses into the stacked-grad dynamic-update-slice (their
+    # first displayed operand is the bf16[L,...] buffer, hiding the s8
+    # GEMM operands). The HLO text carries the full operand dtypes AND
+    # the op_name metadata (".../dot_general" etc.), so look each leaf
+    # up there first. Compiling here is cheap: the step was just
+    # compiled, so this hits the in-process executable cache.
+    hlo_info: dict[str, str] = {}
+    try:
+        hlo = lowered.compile().as_text()
+        for line in hlo.splitlines():
+            m = re.match(r"\s*%?([\w.\-]+) = (.*)", line)
+            if m:
+                hlo_info[m.group(1)] = m.group(2)
+    except Exception as e:  # profiling still works, categories degrade
+        print(f"HLO lookup unavailable ({e}); name-only categories",
+              file=sys.stderr)
 
-        Works off the instruction NAME prefix (which carries the traced
-        jit/kernel name) plus operand dtypes in the HLO text — fusion
-        bodies aren't visible in the trace, but an s8 operand on a big
-        fusion is an int8 GEMM (XLA output-fuses the dequant epilogue and
-        the scan's grad DUS into the matmul, so 'GEMM' here includes
-        those epilogues)."""
+    def category(name: str) -> str:
+        """Bucket a leaf HLO event into the step-budget categories."""
         head = name.partition(" = ")[0]
-        base = re.match(r"%([\w\-]+)", head)
+        base = re.match(r"%([\w.\-]+)", head)
         base = base.group(1) if base else head
         if "splash" in base or base.startswith("pallas_call"):
             return "attention kernels (splash fwd/bwd)"
@@ -102,11 +117,25 @@ def main():
         if ("copy-start" in base or "copy-done" in base or "slice-start" in base
                 or "slice-done" in base):
             return "async DMA self-time (overlapped)"
-        rest = name.partition(" = ")[2]
-        if "fusion" in base and re.search(r"[(,] ?s8\[", rest):
-            return "int8 GEMM fusions (fwd/dgrad/wgrad + fused epilogues)"
-        if "convolution" in base or re.match(r"dot\b", base):
-            return "bf16 matmul (lm_head / embed / unquantized)"
+        rest = hlo_info.get(base, "")
+        if rest:
+            # op_name metadata tells us it lowers a dot_general; operand
+            # dtypes come from each operand's own definition line
+            is_dot = "/dot_general" in rest
+            has_s8 = any(
+                hlo_info.get(op, "").startswith(("s8[", "(s8["))
+                for op in re.findall(r"%([\w.\-]+)", rest.partition("(")[2])
+            )
+            if is_dot and has_s8:
+                return "int8 GEMM fusions (fwd/dgrad/wgrad + fused epilogues)"
+            if is_dot or "convolution" in base:
+                return "bf16 matmul (lm_head / embed / unquantized)"
+        else:
+            rest = name.partition(" = ")[2]
+            if "fusion" in base and re.search(r"[(,] ?s8\[", rest):
+                return "int8 GEMM fusions (fwd/dgrad/wgrad + fused epilogues)"
+            if "convolution" in base or re.match(r"dot\b", base):
+                return "bf16 matmul (lm_head / embed / unquantized)"
         if re.search(r"bf16\[\d+,\d+,2048,64\]|f32\[\d+,\d+,\d+,2048[,\]]", name):
             return "attention-adjacent (rope / head layouts / residual stacking)"
         return "other (elementwise, norm-bwd, loss scan, bookkeeping)"

@@ -459,6 +459,80 @@ def silu_mul_quant_colwise(
     return q, scale
 
 
+# ---------------------------------------------------------------------------
+# rmsnorm backward (single-pass; dgamma accumulated across the grid)
+# ---------------------------------------------------------------------------
+
+
+def _make_norm_bwd_kernel(norm_eps):
+    def kernel(x_ref, g_ref, dy_ref, dx_ref, dg_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dg_ref[:] = jnp.zeros_like(dg_ref)
+
+        xf = x_ref[:].astype(jnp.float32)
+        dyf = dy_ref[:].astype(jnp.float32)
+        gf = g_ref[:].astype(jnp.float32)
+        rstd = jax.lax.rsqrt(
+            jnp.mean(xf * xf, axis=1, keepdims=True) + norm_eps
+        )
+        xn = xf * rstd
+        dxn = dyf * gf
+        c = jnp.mean(dxn * xn, axis=1, keepdims=True)
+        dx_ref[:] = ((dxn - xn * c) * rstd).astype(dx_ref.dtype)
+        dg_ref[:] += jnp.sum(dyf * xn, axis=0, keepdims=True)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("norm_eps", "interpret"))
+def rmsnorm_bwd(
+    x: Array,
+    g: Array,
+    dy: Array,
+    *,
+    norm_eps: float = 1e-5,
+    interpret: bool = False,
+):
+    """Single-pass RMSNorm backward: (dx [M,K] in x.dtype, dgamma f32 [1,K]).
+
+    One read of x and dy, one write of dx — XLA lowers the same closed-form
+    math (quant/fused.py _rmsnorm_bwd_math) as a multi-pass fusion chain
+    measured ~4x over its bandwidth floor in the int8 train step (35 ms/step
+    at llama2-1b bs8 seq2048, profile_step.py fusion.384/396). Same fp32
+    formula; dgamma's cross-row sum associates per row-block (grid-
+    sequential accumulate), so it differs from the jnp oracle only by fp32
+    summation order."""
+    M, K = x.shape
+    bm = _pick_block(M, K, elem_bytes=2 * x.dtype.itemsize)
+    if bm is None:
+        raise ValueError(f"no row blocks for shape {x.shape}")
+    dx, dg = pl.pallas_call(
+        _make_norm_bwd_kernel(norm_eps),
+        grid=(M // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, K), x.dtype),
+            jax.ShapeDtypeStruct((1, K), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(x, g, dy)
+    return dx, dg
+
+
 def supported(M: int, K: int, dtype, n_inputs: int = 1) -> bool:
     """Whether the fused kernels can take [M, K] inputs of ``dtype``."""
     if dtype not in (jnp.bfloat16, jnp.float32):

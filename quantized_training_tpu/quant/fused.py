@@ -99,6 +99,19 @@ def _rmsnorm_bwd_math(x2d: Array, gamma: Array, dy: Array, eps: float):
     return dx.astype(x2d.dtype), dgamma.astype(gamma.dtype)
 
 
+def _rmsnorm_bwd(x2d: Array, gamma: Array, dy: Array, eps: float):
+    """Single-pass Pallas rmsnorm backward on TPU (same fp32 formula as
+    _rmsnorm_bwd_math; XLA lowers that math ~4x over its bandwidth floor
+    in the int8 step), jnp fallback elsewhere."""
+    if _fused_ok(x2d.shape[0], x2d.shape[1], x2d.dtype, n_inputs=2):
+        dx, dg = pf.rmsnorm_bwd(
+            x2d, gamma.reshape(1, -1), dy, norm_eps=eps,
+            interpret=_interpret(),
+        )
+        return dx, dg.reshape(-1).astype(gamma.dtype)
+    return _rmsnorm_bwd_math(x2d, gamma, dy, eps)
+
+
 # ---------------------------------------------------------------------------
 # fused norm -> shared-input multi-linear
 # ---------------------------------------------------------------------------
@@ -174,7 +187,7 @@ def _norm_mm_bwd(config, eps, interpret, res, gs):
                 g_col, y_col, g_col_s, y_col_s, dims=(0, 0), out_dtype=w.dtype
             )
         )
-    dx, dgamma = _rmsnorm_bwd_math(x2d, gamma, dy, eps)
+    dx, dgamma = _rmsnorm_bwd(x2d, gamma, dy, eps)
     return dx, dgamma, tuple(grad_ws), None
 
 

@@ -392,3 +392,23 @@ def test_col_amax_forwarding_exact():
     )
     np.testing.assert_array_equal(np.asarray(qn1), np.asarray(qn2))
     np.testing.assert_array_equal(np.asarray(sn1), np.asarray(sn2))
+
+
+def test_rmsnorm_bwd_kernel_oracle():
+    from quantized_training_tpu.quant.fused import _rmsnorm_bwd_math
+
+    x = _mk((256, 384), 20)
+    g = (1 + 0.1 * _mk((384,), 21, jnp.float32)).astype(jnp.bfloat16)
+    dy = _mk((256, 384), 22)
+    dx_ref, dg_ref = _rmsnorm_bwd_math(x, g, dy, EPS)
+    dx, dg = pf.rmsnorm_bwd(x, g.reshape(1, -1), dy, norm_eps=EPS,
+                            interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(dx, np.float32), np.asarray(dx_ref, np.float32),
+        rtol=0, atol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dg.reshape(-1), np.float32),
+        np.asarray(dg_ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
