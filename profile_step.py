@@ -108,10 +108,13 @@ def main():
             return "optimizer (fused adamw)"
         if base.startswith(
             ("jit_quantize", "quantize_int8", "jit_rmsnorm", "rmsnorm_quant",
-             "jit_silu", "silu_mul_quant", "jit_layer_norm", "layer_norm_quant",
-             "jit_gelu", "gelu_quant")
+             "jit_silu", "silu_mul_quant", "silu_mul_bwd_quant",
+             "jit_layer_norm", "layer_norm_quant", "jit_gelu", "gelu_quant",
+             "jit_ungroup", "ungroup_quant", "ungroup_amax")
         ):
             return "quantize + fused-producer kernels"
+        if base.startswith(("jit_rope", "rope_group", "rope_ungroup")):
+            return "attention-adjacent (rope / head layouts / residual stacking)"
         if base.startswith("while"):
             return "scan wrapper self-time"
         if ("copy-start" in base or "copy-done" in base or "slice-start" in base
@@ -175,6 +178,17 @@ def main():
     print(f"\n{'ms/step':>9}  top ops (exclusive)")
     for name, ms in sorted(ops.items(), key=lambda kv: -kv[1])[: args.top]:
         print(f"{ms / n_steps_traced:9.1f}  {name[:140]}")
+
+    # per-category op detail: the budget table says WHERE the time goes,
+    # this says what each bucket is made of
+    by_cat: dict[str, list[tuple[float, str]]] = defaultdict(list)
+    for name, ms in ops.items():
+        by_cat[category(name)].append((ms, name))
+    for cat, items in sorted(by_cat.items(), key=lambda kv: -sum(m for m, _ in kv[1])):
+        print(f"\n== {cat} ==")
+        for ms, name in sorted(items, reverse=True)[:12]:
+            if ms / n_steps_traced >= 0.3:
+                print(f"{ms / n_steps_traced:9.1f}  {name[:150]}")
 
 
 if __name__ == "__main__":

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..quant import (
+    mlp_linear,
     norm_linear_multi,
     prequantize_step,
     qlinear,
@@ -198,6 +199,26 @@ def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
     return x * c + rotated * s
 
 
+def _use_grouped_rope(cfg: LlamaConfig, seq: int) -> bool:
+    """Fused rope+grouping path (ops/pallas_rope.py): replaces the
+    rope-then-transpose jnp composite whose physical [B,S,H,hd] ->
+    [B,H,S,hd] layout change XLA lowers as ~7 ms generic copies (~42
+    ms/step at llama2-1b bs8, in BOTH bf16 and int8 configs — see
+    profile_step.py). Active on the splash path by default; QT_FUSED_ROPE=0
+    disables, QT_FUSED_ROPE=force enables the grouped pipeline with the
+    einsum fallback (CPU equivalence tests)."""
+    import os
+
+    flag = os.environ.get("QT_FUSED_ROPE", "1")
+    if flag == "0":
+        return False
+    if cfg.head_dim % 64 or cfg.head_dim > 256:
+        return False
+    if flag == "force":
+        return True
+    return _resolve_attn_impl(cfg.attention_impl, seq) == "splash"
+
+
 def _resolve_attn_impl(impl: str, seq: int) -> str:
     """'auto' picks the fastest kernel the shape admits (measured on v5e:
     splash 512/1024 fwd+bwd 15.7 ms/layer vs legacy flash default 80.4 ms
@@ -238,9 +259,14 @@ def _splash_kernel(groups: int, seq: int):
     # faster than separate dq/dkv kernels at B8 H32 KV4 S2048
     # (/tmp attn sweep: 38.4 vs 41.7 ms/call incl. dispatch)
     bq = bkv = blk(1024)
+    # block_kv_compute=512 under block_kv=1024 measured fastest in the
+    # round-4 sweep (benchmark_attention_sweep.py: 12.18 vs 12.40 ms/layer
+    # fwd+bwd at B8 H32 KV4 S2048 hd64); 2048-sized blocks exceed this
+    # environment's remote-compile helper, 512/512 is slower (13.1).
+    bc = min(512, bkv)
     bs = sak.BlockSizes(
-        block_q=bq, block_kv=bkv, block_kv_compute=bkv,
-        block_q_dkv=bq, block_kv_dkv=bkv, block_kv_dkv_compute=bkv,
+        block_q=bq, block_kv=bkv, block_kv_compute=bc,
+        block_q_dkv=bq, block_kv_dkv=bkv, block_kv_dkv_compute=bc,
         use_fused_bwd_kernel=True,
     )
     mask = sam.MultiHeadMask([sam.CausalMask((seq, seq)) for _ in range(groups)])
@@ -319,6 +345,52 @@ def attention(q: Array, k: Array, v: Array, impl: str = "auto") -> Array:
     return jnp.einsum("bhst,bthd->bshd", probs, v)
 
 
+def _qkv_part_grouped(cfg: LlamaConfig, x, lp, cos, sin, key):
+    """Norm + QKV projections + FUSED rope/grouping (ops/pallas_rope.py):
+    q comes out [B,KV,G,S,hd] (with the 1/sqrt(hd) pre-scale folded into
+    its rope tables), k/v [B,KV,S,hd] — the splash operand layouts,
+    produced in one HBM pass each with no XLA layout copies."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    from ..ops.pallas_rope import group_heads, rope_group
+
+    B, S, _ = x.shape
+    H, KV, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    q, k, v = norm_linear_multi(
+        x, lp["attn_norm"]["g"], [lp["q"]["w"], lp["k"]["w"], lp["v"]["w"]],
+        cfg.rms_norm_eps, key=jax.random.fold_in(key, 0),
+    )
+    scale = hd**-0.5
+    qg = rope_group(q.reshape(B, S, H, hd), cos * scale, sin * scale, KV)
+    kg = rope_group(k.reshape(B, S, KV, hd), cos, sin, KV)[:, :, 0]
+    vg = group_heads(v.reshape(B, S, KV, hd), KV)[:, :, 0]
+    if cfg.save_qkv_residuals:
+        qg = checkpoint_name(qg, QKV_RESIDUAL_NAME)
+        kg = checkpoint_name(kg, QKV_RESIDUAL_NAME)
+        vg = checkpoint_name(vg, QKV_RESIDUAL_NAME)
+    return qg, kg, vg
+
+
+def _attention_grouped(qg, kg, vg, impl: str):
+    """Causal GQA attention on grouped operands.
+
+    qg [B,KV,G,S,hd] (already 1/sqrt(hd)-scaled), kg/vg [B,KV,S,hd] ->
+    [B,KV,G,S,hd]. Splash on TPU; grouped fp32-softmax einsum fallback
+    (CPU equivalence tests)."""
+    B, KV, G, S, hd = qg.shape
+    impl = _resolve_attn_impl(impl, S)
+    if impl == "splash":
+        kern = _splash_kernel(G, S)
+        return jax.vmap(jax.vmap(kern))(qg, kg, vg)
+    scores = jnp.einsum(
+        "bkgsd,bktd->bkgst", qg, kg, preferred_element_type=jnp.float32
+    )
+    mask = jnp.tril(jnp.ones((S, S), bool))
+    scores = jnp.where(mask, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(qg.dtype)
+    return jnp.einsum("bkgst,bktd->bkgsd", probs, vg)
+
+
 def _qkv_part(cfg: LlamaConfig, x, lp, cos, sin, key):
     """Norm + QKV projections + RoPE (remattable)."""
     from jax.ad_checkpoint import checkpoint_name
@@ -347,25 +419,41 @@ def _qkv_part(cfg: LlamaConfig, x, lp, cos, sin, key):
     return q, k, v
 
 
-def _post_attn_part(cfg: LlamaConfig, x, ctx, lp, key):
-    """O-projection + MLP with residuals (remattable)."""
+def _post_attn_part(cfg: LlamaConfig, x, ctx, lp, key, *, ctx_grouped=None):
+    """O-projection + MLP with residuals (remattable).
+
+    ``ctx_grouped`` (grouped attention output [B,KV,G,S,hd], exclusive
+    with ``ctx``): routes the o-projection through the fused
+    ungroup->quantize linear (quant/fused.py::attn_out_linear)."""
     def lkey(i):
         return jax.random.fold_in(key, i)
 
-    if cfg.bitnet:
-        ctx = rms_norm(ctx, lp["o_norm"]["g"], cfg.rms_norm_eps)
-    x = x + qlinear(ctx, lp["o"]["w"], key=lkey(3))
+    if ctx_grouped is not None:
+        from ..quant import attn_out_linear
 
-    gate, up = norm_linear_multi(
-        x, lp["mlp_norm"]["g"], [lp["gate"]["w"], lp["up"]["w"]],
-        cfg.rms_norm_eps, key=lkey(4),
-    )
+        x = x + attn_out_linear(
+            ctx_grouped, lp["o"]["w"], cfg.num_key_value_heads, key=lkey(3)
+        )
+    else:
+        if cfg.bitnet:
+            ctx = rms_norm(ctx, lp["o_norm"]["g"], cfg.rms_norm_eps)
+        x = x + qlinear(ctx, lp["o"]["w"], key=lkey(3))
+
     if cfg.bitnet:
+        gate, up = norm_linear_multi(
+            x, lp["mlp_norm"]["g"], [lp["gate"]["w"], lp["up"]["w"]],
+            cfg.rms_norm_eps, key=lkey(4),
+        )
         act = jax.nn.silu(gate) * up
         act = rms_norm(act, lp["down_norm"]["g"], cfg.rms_norm_eps)
         return x + qlinear(act, lp["down"]["w"], key=lkey(6))
-    # silu(gate)*up fused into the down-projection's input quantize
-    return x + silu_mul_linear(gate, up, lp["down"]["w"], key=lkey(6))
+    # whole MLP as one fused op (all-int8): norm/silu producers run inside
+    # the quantizes AND the backward's (dgate, dup) are computed+quantized
+    # in-kernel; falls back to norm_linear_multi + silu_mul_linear
+    return x + mlp_linear(
+        x, lp["mlp_norm"]["g"], lp["gate"]["w"], lp["up"]["w"],
+        lp["down"]["w"], cfg.rms_norm_eps, key=lkey(4),
+    )
 
 
 def _decoder_layer(cfg: LlamaConfig, x, lp, cos, sin, key):
@@ -382,8 +470,19 @@ def _decoder_layer(cfg: LlamaConfig, x, lp, cos, sin, key):
     B, S, D = x.shape
     H, hd = cfg.num_attention_heads, cfg.head_dim
 
-    q, k, v = _qkv_part(cfg, x, lp, cos, sin, key)
-    ctx = attention(q, k, v, cfg.attention_impl).reshape(B, S, H * hd)
+    if _use_grouped_rope(cfg, S):
+        from ..ops.pallas_rope import ungroup_heads
+
+        qg, kg, vg = _qkv_part_grouped(cfg, x, lp, cos, sin, key)
+        out = _attention_grouped(qg, kg, vg, cfg.attention_impl)
+        if not cfg.bitnet:
+            # grouped output straight into the fused ungroup->quantize
+            # o-projection (falls back to ungroup + qlinear internally)
+            return _post_attn_part(cfg, x, None, lp, key, ctx_grouped=out)
+        ctx = ungroup_heads(out, cfg.num_key_value_heads).reshape(B, S, H * hd)
+    else:
+        q, k, v = _qkv_part(cfg, x, lp, cos, sin, key)
+        ctx = attention(q, k, v, cfg.attention_impl).reshape(B, S, H * hd)
     return _post_attn_part(cfg, x, ctx, lp, key)
 
 

@@ -533,6 +533,174 @@ def rmsnorm_bwd(
     return dx, dg
 
 
+# ---------------------------------------------------------------------------
+# silu backward -> both-axis int8 quantize of (dgate, dup)
+# ---------------------------------------------------------------------------
+
+
+def silu_mul_bwd_f32(a: Array, b: Array, dy: Array):
+    """fp32 producer backward: y = silu(a)*b -> (da, db), unrounded.
+
+    (The unfused composite rounds silu(a) to bf16 before the db product —
+    quant/fused.py _silu_mm_bwd; the fused kernels keep fp32 throughout,
+    the same 1-LSB policy as every other fused producer here.)"""
+    af = a.astype(jnp.float32)
+    s = jax.nn.sigmoid(af)
+    dyf = dy.astype(jnp.float32)
+    da = dyf * b.astype(jnp.float32) * s * (1.0 + af * (1.0 - s))
+    db = dyf * af * s
+    return da, db
+
+
+def _silu_bwd_block(a_ref, b_ref, dy_ref):
+    return silu_mul_bwd_f32(a_ref[:], b_ref[:], dy_ref[:])
+
+
+def _make_silu_bwd_row_kernel(eps, sr):
+    def kernel(a_ref, b_ref, dy_ref, seed_ref,
+               daq_ref, das_ref, dbq_ref, dbs_ref, daa_ref, dba_ref):
+        pid = pl.program_id(0)
+        if sr:
+            pltpu.prng_seed(_block_seed(seed_ref, pid, jnp.int32(29)))
+        da, db = _silu_bwd_block(a_ref, b_ref, dy_ref)
+
+        @pl.when(pid == 0)
+        def _():
+            daa_ref[:] = jnp.zeros_like(daa_ref)
+            dba_ref[:] = jnp.zeros_like(dba_ref)
+
+        for v, q_ref, s_ref, am_ref in (
+            (da, daq_ref, das_ref, daa_ref),
+            (db, dbq_ref, dbs_ref, dba_ref),
+        ):
+            ya = jnp.abs(v)
+            scale = jnp.max(ya, axis=1, keepdims=True) * (1.0 / 127.0)
+            q = _round_op(v * _inv_scale(scale, eps), sr)
+            q_ref[:] = jnp.clip(q, -128, 127).astype(jnp.int8)
+            s_ref[:] = scale
+            am_ref[:] = jnp.maximum(
+                am_ref[:], jnp.max(ya, axis=0, keepdims=True)
+            )
+
+    return kernel
+
+
+def _make_silu_bwd_col_kernel(eps, sr):
+    def kernel(a_ref, b_ref, dy_ref, seed_ref, das_ref, dbs_ref,
+               daq_ref, dbq_ref):
+        if sr:
+            pltpu.prng_seed(
+                _block_seed(seed_ref, pl.program_id(0), jnp.int32(31))
+            )
+        da, db = _silu_bwd_block(a_ref, b_ref, dy_ref)
+        qa = _round_op(da * _inv_scale(das_ref[:], eps), sr)
+        daq_ref[:] = jnp.clip(qa, -128, 127).astype(jnp.int8)
+        qb = _round_op(db * _inv_scale(dbs_ref[:], eps), sr)
+        dbq_ref[:] = jnp.clip(qb, -128, 127).astype(jnp.int8)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "sr", "interpret"))
+def silu_mul_bwd_quant_rowwise(
+    a: Array,
+    b: Array,
+    dy: Array,
+    seed: Array | None = None,
+    *,
+    eps: float = _EPS,
+    sr: bool = False,
+    interpret: bool = False,
+):
+    """(dgate, dup) of y = silu(a)*b, rowwise-INT8, in ONE read of
+    (a, b, dy) — the bf16 dgate/dup never exist. Returns
+    (da_q, da_s [M,1], db_q, db_s, da_col_amax [1,K], db_col_amax [1,K]);
+    the col amaxes feed :func:`silu_mul_bwd_quant_colwise` (one more
+    read instead of two)."""
+    M, K = a.shape
+    seed = _as_seed(seed)
+    bm = _pick_block(M, K, elem_bytes=3 * a.dtype.itemsize,
+                     vmem_budget=_SILU_VMEM_BUDGET)
+    if bm is None:
+        raise ValueError(f"no row blocks for shape {a.shape}")
+    io = [
+        pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    amax_spec = pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_silu_bwd_row_kernel(eps, sr),
+        grid=(M // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _seed_spec(),
+        ],
+        out_specs=io + io + [amax_spec, amax_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, K), jnp.int8),
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+            jax.ShapeDtypeStruct((M, K), jnp.int8),
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, K), jnp.float32),
+            jax.ShapeDtypeStruct((1, K), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(a, b, dy, seed)
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "sr", "interpret"))
+def silu_mul_bwd_quant_colwise(
+    a: Array,
+    b: Array,
+    dy: Array,
+    da_scale: Array,
+    db_scale: Array,
+    seed: Array | None = None,
+    *,
+    eps: float = _EPS,
+    sr: bool = False,
+    interpret: bool = False,
+):
+    """(dgate, dup) colwise-INT8 given precomputed col scales [1,K]
+    (= the rowwise pass's col_amax/127): one more read of (a, b, dy),
+    no bf16 intermediates. Returns (da_q, db_q)."""
+    M, K = a.shape
+    seed = _as_seed(seed)
+    bm = _pick_block(M, K, elem_bytes=3 * a.dtype.itemsize,
+                     vmem_budget=_SILU_VMEM_BUDGET)
+    if bm is None:
+        raise ValueError(f"no row blocks for shape {a.shape}")
+    scale_spec = pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_silu_bwd_col_kernel(eps, sr),
+        grid=(M // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _seed_spec(),
+            scale_spec,
+            scale_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, K), jnp.int8),
+            jax.ShapeDtypeStruct((M, K), jnp.int8),
+        ],
+        interpret=interpret,
+    )(a, b, dy, seed, da_scale, db_scale)
+    return tuple(out)
+
+
 def supported(M: int, K: int, dtype, n_inputs: int = 1) -> bool:
     """Whether the fused kernels can take [M, K] inputs of ``dtype``."""
     if dtype not in (jnp.bfloat16, jnp.float32):
@@ -540,7 +708,10 @@ def supported(M: int, K: int, dtype, n_inputs: int = 1) -> bool:
     if M < 32 or K < 128 or K % 128:
         return False
     eb = n_inputs * jnp.dtype(dtype).itemsize
-    return _pick_block(M, K, elem_bytes=eb) is not None
+    # multi-input kernels (silu fwd/bwd) size their blocks against the
+    # larger silu budget — keep this check consistent with what they use
+    budget = _SILU_VMEM_BUDGET if n_inputs >= 2 else 1024 * 1024
+    return _pick_block(M, K, elem_bytes=eb, vmem_budget=budget) is not None
 
 
 # ---------------------------------------------------------------------------

@@ -16,6 +16,8 @@ from .api import (
 )
 from .bitnet import BitNetPackedWeight, BitNetWeight
 from .fused import (
+    attn_out_linear,
+    mlp_linear,
     gelu_linear,
     layernorm_linear,
     norm_linear_multi,
@@ -40,6 +42,8 @@ from .mixed_precision import MixedPrecisionWeight, PreQuantMPWeight
 __all__ = [
     "qlinear",
     "qlinear_multi",
+    "attn_out_linear",
+    "mlp_linear",
     "norm_linear_multi",
     "silu_mul_linear",
     "layernorm_linear",

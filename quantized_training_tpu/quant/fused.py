@@ -333,6 +333,306 @@ def silu_mul_linear(gate, up, w, *, key=None):
 
 
 # ---------------------------------------------------------------------------
+# fused MLP block: norm -> (gate, up) -> silu*mul -> down, one custom_vjp
+# ---------------------------------------------------------------------------
+
+
+def _mlp_mm_impl(config, eps, interpret, x2d, gamma, wg, wu, wd, key):
+    sr = config.stochastic_rounding
+    seed = _kseed(_sub(key, 0)) if sr else None
+    h_q, h_s, h_camax = pf.rmsnorm_quant_rowwise(
+        x2d, gamma.reshape(1, -1), seed, norm_eps=eps, sr=sr,
+        interpret=interpret, with_col_amax=True,
+    )
+    h_s = h_s.astype(x2d.dtype)
+    outs = []
+    for i, w in enumerate((wg, wu)):
+        kw = jax.random.fold_in(_sub(key, 1), i) if sr else None
+        w_row, w_row_s = quantize_int8(w, axis=1, stochastic_rounding=sr, key=kw)
+        outs.append(
+            scaled_mm_general(
+                h_q, w_row, h_s, w_row_s, dims=(1, 1), out_dtype=x2d.dtype
+            )
+        )
+    gate, up = outs
+    seed2 = _kseed(_sub(key, 2)) if sr else None
+    act_q, act_s, act_camax = pf.silu_mul_quant_rowwise(
+        gate, up, seed2, sr=sr, interpret=interpret, with_col_amax=True
+    )
+    act_s = act_s.astype(x2d.dtype)
+    kw = _sub(key, 3) if sr else None
+    wd_row, wd_row_s = quantize_int8(wd, axis=1, stochastic_rounding=sr, key=kw)
+    out = scaled_mm_general(
+        act_q, wd_row, act_s, wd_row_s, dims=(1, 1), out_dtype=x2d.dtype
+    )
+    return out, (gate, up, h_camax, act_camax)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _mlp_mm(config, eps: float, interpret: bool, x2d, gamma, wg, wu, wd, key):
+    """Whole llama MLP as ONE quantized op: rms_norm -> gate/up -> silu*mul
+    -> down, with every producer fused into its input quantize.
+
+    Combining the two ops (norm-multi-linear + silu-linear) into one
+    custom_vjp is what lets the BACKWARD fuse across their boundary: the
+    (dgate, dup) cotangents — which the two-op composite materializes in
+    bf16 (one XLA fusion writing 2x[T,F]) and then re-reads 4x for the
+    both-axis quantizes (~55 ms/step at llama2-1b bs8) — are computed
+    and quantized along both axes directly from (gate, up, dact) by
+    ops/pallas_fused.py::silu_mul_bwd_quant_{rowwise,colwise}, never
+    touching HBM in bf16. Quantization semantics are unchanged
+    (absmax/127 per matmul, per-matmul re-quantization as in
+    subclasses/mixed_precision.py:100-134); like every fused producer
+    here the quantize sees unrounded fp32 values (1-LSB policy)."""
+    return _mlp_mm_impl(config, eps, interpret, x2d, gamma, wg, wu, wd, key)[0]
+
+
+def _mlp_mm_fwd(config, eps, interpret, x2d, gamma, wg, wu, wd, key):
+    out, (gate, up, h_camax, act_camax) = _mlp_mm_impl(
+        config, eps, interpret, x2d, gamma, wg, wu, wd, key
+    )
+    return out, (x2d, gamma, wg, wu, wd, key, gate, up, h_camax, act_camax)
+
+
+def _mlp_mm_bwd(config, eps, interpret, res, g):
+    x2d, gamma, wg, wu, wd, key, gate, up, h_camax, act_camax = res
+    g = g.astype(x2d.dtype)
+    sr = config.stochastic_rounding
+
+    # down-proj backward
+    kg = kw = None
+    if sr:
+        kg, kw = jax.random.split(_sub(key, 4))
+    g_row, g_row_s, g_col, g_col_s = quantize_int8_both(
+        g, stochastic_rounding=sr, key=kg
+    )
+    wd_col, wd_col_s = quantize_int8(wd, axis=0, stochastic_rounding=sr, key=kw)
+    dact = scaled_mm_general(
+        g_row, wd_col, g_row_s, wd_col_s, dims=(1, 0), out_dtype=wd.dtype
+    )
+    seed3 = _kseed(_sub(key, 5)) if sr else None
+    act_col, act_col_s = pf.silu_mul_quant_colwise(
+        gate, up, seed3, sr=sr, interpret=interpret,
+        scale=act_camax * (1.0 / 127.0),
+    )
+    wd_grad = scaled_mm_general(
+        g_col, act_col, g_col_s, act_col_s.astype(wd.dtype),
+        dims=(0, 0), out_dtype=wd.dtype,
+    )
+
+    # (dgate, dup): computed AND both-axis quantized in-kernel
+    seed4 = _kseed(_sub(key, 6)) if sr else None
+    da_q, da_s, db_q, db_s, da_camax, db_camax = pf.silu_mul_bwd_quant_rowwise(
+        gate, up, dact, seed4, sr=sr, interpret=interpret
+    )
+    seed5 = _kseed(_sub(key, 7)) if sr else None
+    da_qc, db_qc = pf.silu_mul_bwd_quant_colwise(
+        gate, up, dact, da_camax * (1.0 / 127.0), db_camax * (1.0 / 127.0),
+        seed5, sr=sr, interpret=interpret,
+    )
+
+    # gate/up backward against the colwise-quantized norm output
+    seed6 = _kseed(_sub(key, 8)) if sr else None
+    h_col, h_col_s = pf.rmsnorm_quant_colwise(
+        x2d, gamma.reshape(1, -1), seed6, norm_eps=eps, sr=sr,
+        interpret=interpret, scale=h_camax * (1.0 / 127.0),
+    )
+    h_col_s = h_col_s.astype(x2d.dtype)
+    dh = None
+    grads_w = []
+    for i, (w, v_row, v_row_s, v_col, v_camax) in enumerate((
+        (wg, da_q, da_s, da_qc, da_camax),
+        (wu, db_q, db_s, db_qc, db_camax),
+    )):
+        kw = jax.random.fold_in(_sub(key, 9), i) if sr else None
+        w_col, w_col_s = quantize_int8(
+            w, axis=0, stochastic_rounding=sr, key=kw
+        )
+        di = scaled_mm_general(
+            v_row, w_col, v_row_s.astype(w.dtype), w_col_s,
+            dims=(1, 0), out_dtype=w.dtype,
+        )
+        dh = di if dh is None else dh + di
+        grads_w.append(
+            scaled_mm_general(
+                v_col, h_col,
+                (v_camax * (1.0 / 127.0)).astype(w.dtype), h_col_s,
+                dims=(0, 0), out_dtype=w.dtype,
+            )
+        )
+    dx, dgamma = _rmsnorm_bwd(x2d, gamma, dh, eps)
+    return dx, dgamma, grads_w[0], grads_w[1], wd_grad, None
+
+
+_mlp_mm.defvjp(_mlp_mm_fwd, _mlp_mm_bwd)
+
+
+def mlp_linear(x, gamma, wg, wu, wd, eps, *, key=None):
+    """Fused llama MLP: (silu(norm(x)@wg.T) * (norm(x)@wu.T)) @ wd.T.
+
+    Drop-in for ``norm_linear_multi`` + ``silu_mul_linear`` when all
+    three weights are all-INT8 mixed-precision with one config; falls
+    back to exactly that composite otherwise."""
+    ws = (wg, wu, wd)
+    configs = {w.config for w in ws if isinstance(w, MixedPrecisionWeight)}
+    fused = (
+        len(configs) == 1
+        and all(isinstance(w, MixedPrecisionWeight) for w in ws)
+        and _all_int8(next(iter(configs)))
+    )
+    if fused:
+        x2d = x.reshape(-1, x.shape[-1])
+        x2d, M = _pad_tokens(x2d)
+        F = wg.data.shape[0]
+        fused = _fused_ok(x2d.shape[0], x2d.shape[1], x.dtype) and _fused_ok(
+            x2d.shape[0], F, x.dtype, n_inputs=3
+        )
+    if not fused:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        gate, up = norm_linear_multi(
+            x, gamma, [wg, wu], eps, key=jax.random.fold_in(key, 0)
+        )
+        return silu_mul_linear(gate, up, wd, key=jax.random.fold_in(key, 1))
+    cfg = next(iter(configs))
+    if key is None:
+        if cfg.stochastic_rounding:
+            raise ValueError("stochastic_rounding requires a PRNG key")
+        key = jax.random.PRNGKey(0)
+    out = _mlp_mm(
+        cfg, float(eps), _interpret(), x2d, gamma,
+        wg.data, wu.data, wd.data, key,
+    )[:M]
+    return out.reshape(*x.shape[:-1], wd.data.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# fused grouped-attention-output -> o-proj linear
+# ---------------------------------------------------------------------------
+
+
+def _const_pair_tables(S: int, hd: int):
+    c = jnp.ones((S, 2 * hd), jnp.float32)
+    return c, jnp.zeros_like(c)
+
+
+def _group_cotangent(dctx2d: Array, B: int, S: int, kv: int, hd: int,
+                     interpret: bool) -> Array:
+    """[B*S, H*hd] cotangent -> grouped [B,KV,G,S,hd] (no rotation)."""
+    from ..ops import pallas_rope as pr
+
+    x4 = dctx2d.reshape(B, S, -1, hd)
+    if interpret or pr._use_kernel(x4):
+        c2, s2 = _const_pair_tables(S, hd)
+        return pr.rope_group_kernel(x4, c2, s2, kv=kv, interpret=interpret)
+    one = jnp.ones((S, hd), x4.dtype)
+    return pr.rope_group_ref(x4, one, jnp.zeros_like(one), kv)
+
+
+def _attn_out_mm_impl(config, interpret, out_g, w, key):
+    from ..ops import pallas_rope as pr
+
+    B, KV, G, S, hd = out_g.shape
+    sr = config.stochastic_rounding
+    seed = _kseed(_sub(key, 0)) if sr else None
+    row_amax, col_amax = pr.ungroup_amax(out_g, interpret=interpret)
+    x_row = pr.ungroup_quant(
+        out_g, row_amax * (1.0 / 127.0), seed, axis=1, sr=sr,
+        interpret=interpret,
+    ).reshape(B * S, KV * G * hd)
+    x_row_s = (row_amax * (1.0 / 127.0)).reshape(B * S, 1).astype(w.dtype)
+    kw = _sub(key, 1) if sr else None
+    w_row, w_row_s = quantize_int8(w, axis=1, stochastic_rounding=sr, key=kw)
+    out = scaled_mm_general(
+        x_row, w_row, x_row_s, w_row_s, dims=(1, 1), out_dtype=w.dtype
+    )
+    return out, col_amax
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _attn_out_mm(config, interpret: bool, out_g, w, key):
+    """Grouped attention output [B,KV,G,S,hd] @ w.T -> [B*S, out].
+
+    The ungrouping runs INSIDE the int8 quantize kernels
+    (ops/pallas_rope.py ungroup_quant): the bf16 [B*S, H*hd] o-proj
+    input never exists — not in the forward, not in the remat replay,
+    and the backward's colwise operand reuses the forward's col absmax
+    (one read of the grouped output instead of ungroup + 2-pass
+    quantize)."""
+    return _attn_out_mm_impl(config, interpret, out_g, w, key)[0]
+
+
+def _attn_out_mm_fwd(config, interpret, out_g, w, key):
+    out, col_amax = _attn_out_mm_impl(config, interpret, out_g, w, key)
+    return out, (out_g, w, key, col_amax)
+
+
+def _attn_out_mm_bwd(config, interpret, res, g):
+    from ..ops import pallas_rope as pr
+
+    out_g, w, key, col_amax = res
+    B, KV, G, S, hd = out_g.shape
+    g = g.astype(w.dtype)
+    sr = config.stochastic_rounding
+    kg = kw = None
+    seed = _kseed(_sub(key, 2)) if sr else None
+    if sr:
+        kg, kw = jax.random.split(_sub(key, 3))
+    g_row, g_row_s, g_col, g_col_s = quantize_int8_both(
+        g, stochastic_rounding=sr, key=kg
+    )
+    w_col, w_col_s = quantize_int8(w, axis=0, stochastic_rounding=sr, key=kw)
+    dctx = scaled_mm_general(
+        g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=w.dtype
+    )
+    d_out_g = _group_cotangent(dctx, B, S, KV, hd, interpret)
+    x_col = pr.ungroup_quant(
+        out_g, col_amax * (1.0 / 127.0), seed, axis=0, sr=sr,
+        interpret=interpret,
+    ).reshape(B * S, KV * G * hd)
+    x_col_s = (col_amax * (1.0 / 127.0)).astype(w.dtype)
+    grad_w = scaled_mm_general(
+        g_col, x_col, g_col_s, x_col_s, dims=(0, 0), out_dtype=w.dtype
+    )
+    return d_out_g, grad_w, None
+
+
+_attn_out_mm.defvjp(_attn_out_mm_fwd, _attn_out_mm_bwd)
+
+
+def attn_out_linear(out_g: Array, w, kv: int, *, key=None) -> Array:
+    """Grouped attention output -> o_proj output [B, S, out_features].
+
+    Drop-in for ``ungroup_heads(out_g, kv).reshape(B, S, -1)`` followed
+    by ``qlinear(..., w)``; the fused path engages for all-INT8
+    mixed-precision weights on TPU."""
+    from ..ops.pallas_rope import ungroup_heads
+
+    B, KV, G, S, hd = out_g.shape
+    H = KV * G
+    fused = (
+        isinstance(w, MixedPrecisionWeight)
+        and _all_int8(w.config)
+        and (H * hd) % 128 == 0
+        and (B * S) % 256 == 0
+        and H % 2 == 0
+        and (G == 1 or G % 2 == 0)
+        and _fused_ok(B * S, H * hd, out_g.dtype)
+    )
+    if not fused:
+        from .api import qlinear
+
+        ctx = ungroup_heads(out_g, kv).reshape(B, S, H * hd)
+        return qlinear(ctx, w, key=key)
+    if key is None:
+        if w.config.stochastic_rounding:
+            raise ValueError("stochastic_rounding requires a PRNG key")
+        key = jax.random.PRNGKey(0)
+    out = _attn_out_mm(w.config, _interpret(), out_g, w.data, key)
+    return out.reshape(B, S, w.data.shape[0])
+
+
+# ---------------------------------------------------------------------------
 # ViT producers: layernorm -> linear, gelu -> linear (models/vit.py:92-128)
 # ---------------------------------------------------------------------------
 

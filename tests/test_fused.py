@@ -412,3 +412,129 @@ def test_rmsnorm_bwd_kernel_oracle():
         np.asarray(dg_ref, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_attn_out_linear_matches_unfused():
+    """Fused ungroup->quantize o-proj == ungroup + unfused qlinear:
+    output and gradients (to the grouped input and the weight)."""
+    B, KV, G, S, hd = 2, 2, 4, 128, 64
+    H = KV * G
+    out_g = _mk((B, KV, G, S, hd), 20)
+    (w,) = _mp_weights([(256, H * hd)], [21])
+    key = jax.random.PRNGKey(7)
+
+    def run(out_g, wdata):
+        ww = quant.MixedPrecisionWeight(wdata, w.config)
+        o = quant.attn_out_linear(out_g, ww, KV, key=key)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    fused.set_impl("interpret")
+    try:
+        loss_f, grads_f = _grads(run, out_g, w.data)
+    finally:
+        fused.set_impl("off")
+    try:
+        loss_u, grads_u = _grads(run, out_g, w.data)
+    finally:
+        fused.set_impl("auto")
+
+    np.testing.assert_allclose(float(loss_f), float(loss_u), rtol=2e-2)
+    for gf, gu in zip(grads_f, grads_u):
+        gf, gu = np.asarray(gf, np.float32), np.asarray(gu, np.float32)
+        denom = np.abs(gu).max() + 1e-6
+        assert np.abs(gf - gu).max() / denom < 6e-2
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="in-kernel stochastic rounding uses the TPU PRNG "
+    "(pltpu.prng_random_bits); run on a chip to exercise",
+)
+def test_attn_out_linear_sr_paths():
+    """SR config exercises the in-kernel PRNG seeds of the fused
+    ungroup-quantize (deterministic per key, finite grads)."""
+    B, KV, G, S, hd = 2, 2, 4, 128, 64
+    out_g = _mk((B, KV, G, S, hd), 22)
+    (w,) = _mp_weights([(256, KV * G * hd)], [23], stochastic_rounding=True)
+    key = jax.random.PRNGKey(11)
+
+    fused.set_impl("interpret")
+    try:
+        o1 = quant.attn_out_linear(out_g, w, KV, key=key)
+        o2 = quant.attn_out_linear(out_g, w, KV, key=key)
+        assert bool(jnp.all(o1 == o2))
+        g = jax.grad(
+            lambda og: jnp.sum(
+                quant.attn_out_linear(og, w, KV, key=key).astype(jnp.float32)
+                ** 2
+            )
+        )(out_g)
+        assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))
+    finally:
+        fused.set_impl("auto")
+
+
+def test_silu_bwd_quant_kernels_match_oracle():
+    from quantized_training_tpu.quant.core import quantize_int8
+
+    a = _mk((128, 256), 30)
+    b = _mk((128, 256), 31)
+    dy = _mk((128, 256), 32)
+    da_ref, db_ref = pf.silu_mul_bwd_f32(a, b, dy)
+    da_q, da_s, db_q, db_s, da_am, db_am = pf.silu_mul_bwd_quant_rowwise(
+        a, b, dy, interpret=True
+    )
+    for v_ref, q, s, am in ((da_ref, da_q, da_s, da_am), (db_ref, db_q, db_s, db_am)):
+        qr, sr_ = quantize_int8(v_ref, axis=1)
+        assert np.abs(
+            np.asarray(q, np.int32) - np.asarray(qr, np.int32)
+        ).max() <= 1  # fp32-producer 1-LSB policy
+        np.testing.assert_allclose(
+            np.asarray(s).ravel(), np.asarray(sr_, np.float32).ravel(), rtol=1e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(am).ravel(),
+            np.abs(np.asarray(v_ref, np.float32)).max(0),
+            rtol=1e-2,
+        )
+    da_qc, db_qc = pf.silu_mul_bwd_quant_colwise(
+        a, b, dy, da_am * (1 / 127.0), db_am * (1 / 127.0), interpret=True
+    )
+    for v_ref, qc in ((da_ref, da_qc), (db_ref, db_qc)):
+        qr, _ = quantize_int8(v_ref, axis=0)
+        assert np.abs(
+            np.asarray(qc, np.int32) - np.asarray(qr, np.int32)
+        ).max() <= 1
+
+
+def test_mlp_linear_matches_unfused():
+    """One-op fused MLP (interpret kernels) == the norm_linear_multi +
+    silu_mul_linear composite: output and all gradients."""
+    x = _mk((4, 64, 256), 40)
+    gamma = (1 + 0.1 * _mk((256,), 41, jnp.float32)).astype(jnp.bfloat16)
+    wg, wu = _mp_weights([(384, 256)] * 2, [42, 43])
+    (wd,) = _mp_weights([(256, 384)], [44])
+    key = jax.random.PRNGKey(5)
+
+    def run(x, gamma, g_d, u_d, d_d):
+        ws = [
+            quant.MixedPrecisionWeight(d, wg.config) for d in (g_d, u_d, d_d)
+        ]
+        out = quant.mlp_linear(x, gamma, ws[0], ws[1], ws[2], EPS, key=key)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    fused.set_impl("interpret")
+    try:
+        loss_f, grads_f = _grads(run, x, gamma, wg.data, wu.data, wd.data)
+    finally:
+        fused.set_impl("off")
+    try:
+        loss_u, grads_u = _grads(run, x, gamma, wg.data, wu.data, wd.data)
+    finally:
+        fused.set_impl("auto")
+
+    np.testing.assert_allclose(float(loss_f), float(loss_u), rtol=2e-2)
+    for gf, gu in zip(grads_f, grads_u):
+        gf, gu = np.asarray(gf, np.float32), np.asarray(gu, np.float32)
+        denom = np.abs(gu).max() + 1e-6
+        assert np.abs(gf - gu).max() / denom < 6e-2, np.abs(gf - gu).max() / denom
