@@ -125,6 +125,19 @@ def main():
     seq = 2048
     configs = [("llama2-1b", 8, seq), ("llama2-1b", 4, seq), ("llama2-470m", 8, seq)]
 
+    # persistent compilation cache: the int8 program's one-time compile is
+    # the dominant fixed cost through this environment's remote tunnel
+    # (60-170 s vs ~10 s bf16); cached reruns skip it entirely
+    try:
+        import os
+
+        cache = os.environ.get("QT_COMPILE_CACHE", "/tmp/qt_xla_cache")
+        if cache:
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception as e:
+        log(f"persistent compile cache unavailable: {e}")
+
     log(f"benchmarking on {jax.devices()[0].device_kind}")
     int8_toks, chosen = try_measure(configs, "mixed_precision")
     if int8_toks is None:

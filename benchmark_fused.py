@@ -150,6 +150,121 @@ def main():
         print(f"| {name} | {ms_u:.3f} | {ms_f:.3f} | {ms_u / ms_f:.2f}x "
               f"| {bw:.0f} |")
 
+    round4_chains(M, K, F)
+
+
+def device_loop_ms_gen(fn, args, it_lo=32, it_hi=160) -> float:
+    """Differential device-loop ms/call; fn(x, *rest) returns any pytree
+    whose FIRST leaf folds back into x (broadcast-add, anti-DCE)."""
+
+    def make(iters):
+        @jax.jit
+        def many(x0, *rest):
+            def body(i, x):
+                out = jax.tree.leaves(fn(x, *rest))[0]
+                out = out.astype(x.dtype).reshape(x.shape)
+                return x + out * jnp.asarray(1e-9, x.dtype)
+
+            return jax.lax.fori_loop(0, iters, body, x0)
+
+        return many
+
+    f_lo, f_hi = make(it_lo), make(it_hi)
+    _sync(f_lo(*args))
+    _sync(f_hi(*args))
+
+    def t(f):
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _sync(f(*args))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return (t(f_hi) - t(f_lo)) / (it_hi - it_lo) * 1e3
+
+
+def round4_chains(M, K, F):
+    """Round-4 fused chains: silu backward both-quantize, rope+grouping,
+    attention-output ungroup+quantize (see ops/pallas_rope.py)."""
+    from quantized_training_tpu.ops import pallas_fused as pf
+    from quantized_training_tpu.ops import pallas_rope as pr
+    from quantized_training_tpu.quant.core import quantize_int8_both
+
+    B, S, H, KV, hd = 8, M // 8, 32, 4, 64
+    a = jax.random.normal(jax.random.PRNGKey(2), (M, F), jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(3), (M, F), jnp.bfloat16)
+    dy = jax.random.normal(jax.random.PRNGKey(4), (M, F), jnp.bfloat16)
+    xq = jax.random.normal(jax.random.PRNGKey(5), (B, S, H, hd), jnp.bfloat16)
+    yg = jax.random.normal(
+        jax.random.PRNGKey(6), (B, KV, H // KV, S, hd), jnp.bfloat16
+    )
+    inv = 1.0 / (10000.0 ** (jnp.arange(0, hd, 2, jnp.float32) / hd))
+    emb = jnp.concatenate(
+        [jnp.outer(jnp.arange(S, dtype=jnp.float32), inv)] * 2, -1
+    )
+    cos, sin = jnp.cos(emb), jnp.sin(emb)
+    c2, s2 = pr.pair_tables(cos, sin)
+
+    def unfused_silu_bwd(a, b, dy):
+        da, db = pf.silu_mul_bwd_f32(a, b, dy)
+        da = da.astype(a.dtype)
+        db = db.astype(a.dtype)
+        return quantize_int8_both(da) + quantize_int8_both(db)
+
+    def fused_silu_bwd(a, b, dy):
+        row = pf.silu_mul_bwd_quant_rowwise(a, b, dy)
+        col = pf.silu_mul_bwd_quant_colwise(
+            a, b, dy, row[4] * (1 / 127.0), row[5] * (1 / 127.0)
+        )
+        return row + col
+
+    def unfused_rope_group(x):
+        return pr.rope_group_ref(x, cos, sin, KV)
+
+    def fused_rope_group(x):
+        return pr.rope_group_kernel(x, c2, s2, kv=KV)
+
+    def unfused_ungroup(y):
+        return pr.rope_ungroup_ref(y, cos, sin, KV, inverse=True)
+
+    def fused_ungroup(y):
+        return pr.rope_ungroup_kernel(y, c2, s2, inverse=True)
+
+    def unfused_out_quant(y):
+        x2d = pr.rope_ungroup_ref(
+            y, jnp.ones_like(cos), jnp.zeros_like(sin), KV
+        ).reshape(B * S, H * hd)
+        from quantized_training_tpu.ops.pallas_quant import (
+            quantize_int8_rowwise,
+        )
+
+        return quantize_int8_rowwise(x2d)
+
+    def fused_out_quant(y):
+        row, col = pr.ungroup_amax(y)
+        return pr.ungroup_quant(y, row * (1 / 127.0), axis=1), row, col
+
+    gb_silu = 3 * M * F * 2 / 1e9  # one read of (a, b, dy)
+    gb_rope = 2 * B * S * H * hd * 2 / 1e9  # read + write bf16
+    cases = [
+        ("silu-bwd both-q", unfused_silu_bwd, fused_silu_bwd, (a, b, dy),
+         2 * gb_silu + 4 * M * F / 1e9),
+        ("rope+group (q)", unfused_rope_group, fused_rope_group, (xq,),
+         gb_rope),
+        ("ungroup+rope (dq)", unfused_ungroup, fused_ungroup, (yg,), gb_rope),
+        ("attn-out -> int8 row", unfused_out_quant, fused_out_quant, (yg,),
+         gb_rope + B * S * H * hd / 1e9),
+    ]
+    print("| round-4 chain | unfused ms | fused ms | speedup | fused GB/s |")
+    print("|---|---|---|---|---|")
+    for name, uf, ff, ar, vol in cases:
+        ms_u = device_loop_ms_gen(uf, ar)
+        ms_f = device_loop_ms_gen(ff, ar)
+        log(f"{name}: unfused {ms_u:.3f} ms, fused {ms_f:.3f} ms")
+        print(f"| {name} | {ms_u:.3f} | {ms_f:.3f} | {ms_u / ms_f:.2f}x "
+              f"| {vol / (ms_f * 1e-3) / 1e9:.0f} |")
+
 
 if __name__ == "__main__":
     main()

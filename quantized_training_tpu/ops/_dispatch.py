@@ -18,15 +18,21 @@ Pallas kernels remain available via ``set_backend("pallas")``.
 from __future__ import annotations
 
 import contextlib
+import os
 
-_BACKEND = "auto"
 # 'tuned' = per-shape data-driven dispatch: canonical-form int8 scaled
 # matmuls route to the Pallas kernel where the autotune cache measured it
 # faster than XLA (e.g. 342 vs 328 TFLOPS at [16384,2048]x[2048,5632] on
-# v5e). Opt-in: embedding the large-block Pallas kernels inside the full
-# train program raised compile pressure past this environment's remote
-# helper, so 'auto' stays pure XLA for robustness.
+# v5e). Not the default: embedding the large-block Pallas kernels inside
+# the full train program raised compile pressure past this environment's
+# remote helper, so 'auto' stays pure XLA for robustness. QT_OPS_BACKEND
+# overrides the initial setting (e.g. QT_OPS_BACKEND=tuned bench.py).
 _VALID = ("auto", "xla", "pallas", "tuned")
+_BACKEND = os.environ.get("QT_OPS_BACKEND", "auto")
+if _BACKEND not in _VALID:
+    raise ValueError(
+        f"QT_OPS_BACKEND must be one of {_VALID}, got {_BACKEND!r}"
+    )
 
 
 def set_backend(name: str) -> None:
