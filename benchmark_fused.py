@@ -263,7 +263,7 @@ def round4_chains(M, K, F):
         ms_f = device_loop_ms_gen(ff, ar)
         log(f"{name}: unfused {ms_u:.3f} ms, fused {ms_f:.3f} ms")
         print(f"| {name} | {ms_u:.3f} | {ms_f:.3f} | {ms_u / ms_f:.2f}x "
-              f"| {vol / (ms_f * 1e-3) / 1e9:.0f} |")
+              f"| {vol / (ms_f * 1e-3):.0f} |")
 
 
 if __name__ == "__main__":

@@ -520,6 +520,14 @@ def backbone(params, tokens: Array, cfg: LlamaConfig, key: Array | None = None):
         # On non-splash paths no value carries the name, so this degrades
         # to plain full remat.
         names = [ATTN_RESIDUAL_NAME]
+        # tiny [1,K] f32 col-absmax outputs of the fused quantize kernels:
+        # saving them lets the replay DCE the whole silu-row quantize /
+        # down-GEMM / attn-out-quantize / o-GEMM chains, which were only
+        # re-run because a multi-output custom call cannot be partially
+        # DCE'd (see quant/fused.py QUANT_AMAX_RESIDUAL)
+        from ..quant.fused import QUANT_AMAX_RESIDUAL
+
+        names.append(QUANT_AMAX_RESIDUAL)
         if cfg.save_qkv_residuals:
             names.append(QKV_RESIDUAL_NAME)
         layer_body = jax.checkpoint(

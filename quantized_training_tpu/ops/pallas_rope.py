@@ -33,7 +33,7 @@ The VJP of y = x*c + rot(x)*s is dx = dy*c + rot^T(dy)*s with
 rot^T = rot^{-1} (the rotation is orthogonal) — `inverse=True`.
 
 Also here: the attention-output -> INT8 o-proj input fusion
-(:func:`ungroup_quant_rowwise` / :func:`ungroup_quant_colwise`): the
+(:func:`ungroup_amax` / :func:`ungroup_quant`): the
 ungrouping runs INSIDE the int8 quantize, so the bf16 [B,S,H*hd]
 attention output is never materialized in the int8 forward (nor in the
 remat replay), and the backward's colwise pass reuses the forward's

@@ -41,6 +41,28 @@ from .mixed_precision import MixedPrecisionWeight, _all_int8, _pad_tokens
 
 Array = jax.Array
 
+# checkpoint_name tag on the forwarded column-absmax outputs of the fused
+# producer kernels. Why: the camaxes are custom_vjp RESIDUALS, and a
+# multi-output custom call cannot be partially DCE'd — so under remat the
+# replay re-runs the whole producing kernel (and everything downstream of
+# its other outputs: the down-projection GEMM consumes the replayed act_q,
+# the o-projection GEMM the replayed attention-out quantize) just to
+# rebuild a [1, K] f32 vector. Saving the camaxes across the layer
+# checkpoint (models/llama.py adds this name to the remat policy) lets the
+# replay DCE the silu-row quantize, the down GEMM, the attn-out quantize
+# and the o GEMM — none of their outputs are residuals. The bf16 config
+# has no such coupling (XLA DCEs plain dots in the replay on its own), so
+# this is a pure int8-side saving. Cost: ~a few hundred KB of saved f32
+# vectors per layer.
+QUANT_AMAX_RESIDUAL = "quant_amax_residuals"
+
+
+def _name_amax(v: Array) -> Array:
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(v, QUANT_AMAX_RESIDUAL)
+
+
 _IMPL = "auto"  # auto | off | interpret
 
 
@@ -140,7 +162,7 @@ def _norm_mm_impl(config, eps, interpret, x2d, gamma, ws, key):
                 out_dtype=x2d.dtype,
             )
         )
-    return tuple(outs), col_amax
+    return tuple(outs), _name_amax(col_amax)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -252,7 +274,7 @@ def _silu_mm_impl(config, interpret, a2d, b2d, w, key):
     out = scaled_mm_general(
         y_row, w_row, y_row_s, w_row_s, dims=(1, 1), out_dtype=a2d.dtype
     )
-    return out, col_amax
+    return out, _name_amax(col_amax)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -365,7 +387,7 @@ def _mlp_mm_impl(config, eps, interpret, x2d, gamma, wg, wu, wd, key):
     out = scaled_mm_general(
         act_q, wd_row, act_s, wd_row_s, dims=(1, 1), out_dtype=x2d.dtype
     )
-    return out, (gate, up, h_camax, act_camax)
+    return out, (gate, up, _name_amax(h_camax), _name_amax(act_camax))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -546,7 +568,7 @@ def _attn_out_mm_impl(config, interpret, out_g, w, key):
     out = scaled_mm_general(
         x_row, w_row, x_row_s, w_row_s, dims=(1, 1), out_dtype=w.dtype
     )
-    return out, col_amax
+    return out, _name_amax(col_amax)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -750,7 +772,7 @@ def _gelu_mm_impl(config, interpret, a2d, w, key):
     out = scaled_mm_general(
         y_row, w_row, y_row_s, w_row_s, dims=(1, 1), out_dtype=a2d.dtype
     )
-    return out, col_amax
+    return out, _name_amax(col_amax)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
