@@ -50,6 +50,14 @@ Array = jax.Array
 ATTN_RESIDUAL_NAME = "attn_residuals"
 # tag on post-rope q/k/v (see _qkv_part / LlamaConfig.save_qkv_residuals)
 QKV_RESIDUAL_NAME = "qkv_residuals"
+# tag on the post-attention residual sum (QT_SAVE_POSTATTN=1)
+POST_ATTN_RESIDUAL_NAME = "post_attn_residual"
+
+
+def _save_post_attn() -> bool:
+    import os
+
+    return os.environ.get("QT_SAVE_POSTATTN", "0") == "1"
 
 
 @dataclass(frozen=True)
@@ -434,6 +442,14 @@ def _post_attn_part(cfg: LlamaConfig, x, ctx, lp, key, *, ctx_grouped=None):
         x = x + attn_out_linear(
             ctx_grouped, lp["o"]["w"], cfg.num_key_value_heads, key=lkey(3)
         )
+        if _save_post_attn():
+            # saving the post-attention residual (64 MB/layer bf16) lets
+            # the remat replay drop the o-projection GEMM + the fused
+            # attn-out quantize that only existed to rebuild it (the MLP
+            # custom_vjp holds x_mid as a residual)
+            from jax.ad_checkpoint import checkpoint_name
+
+            x = checkpoint_name(x, POST_ATTN_RESIDUAL_NAME)
     else:
         if cfg.bitnet:
             ctx = rms_norm(ctx, lp["o_norm"]["g"], cfg.rms_norm_eps)
@@ -528,6 +544,8 @@ def backbone(params, tokens: Array, cfg: LlamaConfig, key: Array | None = None):
         from ..quant.fused import QUANT_AMAX_RESIDUAL
 
         names.append(QUANT_AMAX_RESIDUAL)
+        if _save_post_attn():
+            names.append(POST_ATTN_RESIDUAL_NAME)
         if cfg.save_qkv_residuals:
             names.append(QKV_RESIDUAL_NAME)
         layer_body = jax.checkpoint(

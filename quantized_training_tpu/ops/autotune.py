@@ -43,8 +43,27 @@ _DEFAULTS = {
 _DIMS_BY_KERNEL = {"scaled_mm_lhsT": (0, 0), "scaled_mm_rhsT": (1, 1)}
 
 # VMEM working-set budget per config: a/b blocks double-buffered + fp32/int32
-# accumulator + output block. The hard limit is 16 MiB more scoped headroom.
-_VMEM_BUDGET = 12 * 1024 * 1024
+# accumulator + output block. The hard scoped limit is 16 MiB and the
+# estimate runs ~30% below what Mosaic actually allocates in a full train
+# program (a 12.58M-estimate config measured 16.37M in-program and failed
+# to compile — the round-2 reason 'tuned' had to stay opt-in), so the
+# budget leaves real headroom. `lookup` re-checks cached entries against
+# it, degrading stale over-budget configs instead of failing the compile.
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _working_set(bm: int, bn: int, bk: int, elem: int) -> int:
+    return 2 * (bm * bk + bk * bn) * elem + 4 * bm * bn + 2 * bm * bn
+
+
+def _cap_blocks(blocks, elem: int) -> tuple[int, int, int]:
+    """Shrink an over-budget config (halving bk, then bm) until it fits."""
+    bm, bn, bk = blocks
+    while _working_set(bm, bn, bk, elem) > _VMEM_BUDGET and bk > 512:
+        bk //= 2
+    while _working_set(bm, bn, bk, elem) > _VMEM_BUDGET and bm > 256:
+        bm //= 2
+    return bm, bn, bk
 
 
 def _device_key() -> str:
@@ -75,10 +94,11 @@ def lookup(kernel: str, M: int, K: int, N: int, dtype) -> tuple[int, int, int]:
     import jax.numpy as jnp
 
     dt = jnp.dtype(dtype).name
+    elem = jnp.dtype(dtype).itemsize
     cache = _load_cache(_device_key())
     hit = cache.get(_entry_key(kernel, dt, M, K, N))
     if hit:
-        return tuple(hit["blocks"])
+        return _cap_blocks(tuple(hit["blocks"]), elem)
     # nearest-M fallback within the same (K, N) — M is the tokens dim and
     # varies with batch; K/N are architecture dims
     best = None
@@ -92,7 +112,7 @@ def lookup(kernel: str, M: int, K: int, N: int, dtype) -> tuple[int, int, int]:
             if best is None or d < best[0]:
                 best = (d, tuple(v["blocks"]))
     if best:
-        return best[1]
+        return _cap_blocks(best[1], elem)
     return _DEFAULTS[kernel]
 
 

@@ -128,3 +128,28 @@ class TestScaledMmGeneralBackend:
             pallas_mm.scaled_mm = orig
         assert calls["shapes"] == ((64, 128), (128, 32))  # b transposed to standard
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_tuned_lookup_respects_vmem_budget():
+    """Every block config the dispatch layer can return — cached, nearest-M,
+    or default — must fit the autotune VMEM working-set budget (a stale
+    cache entry at (2048,256,2048) measured 16.37M scoped VMEM in-program
+    and failed the whole train-step compile)."""
+    import json
+
+    import jax.numpy as jnp
+
+    from quantized_training_tpu.ops import autotune as at
+
+    for path in at.TUNED_DIR.glob("*.json"):
+        cache = json.loads(path.read_text())
+        for key in cache:
+            kernel, dt, shape = key.split(":")
+            M, K, N = (int(t) for t in shape.split("x"))
+            elem = jnp.dtype(dt).itemsize
+            bm, bn, bk = at._cap_blocks(tuple(cache[key]["blocks"]), elem)
+            assert at._working_set(bm, bn, bk, elem) <= at._VMEM_BUDGET, key
+    for kernel, blocks in at._DEFAULTS.items():
+        bm, bn, bk = blocks
+        if bk:
+            assert at._working_set(bm, bn, bk, 1) <= at._VMEM_BUDGET, kernel
