@@ -118,17 +118,14 @@ def main():
     g = jax.random.normal(kg, (B, S, H, hd), jnp.bfloat16) * 0.01
 
     # (bq, bkv, bkvc, bq_dkv, bkv_dkv, bkv_dkvc, fused)
-    cur = (1024, 1024, 1024, 1024, 1024, 1024, True)
+    cur = (1024, 1024, 512, 1024, 1024, 512, True)  # round-4 adopted
     configs = [
         cur,
-        (512, 512, 512, 512, 512, 512, True),
-        (2048, 2048, 2048, 2048, 2048, 2048, True),
-        (2048, 1024, 1024, 2048, 1024, 1024, True),
-        (1024, 1024, 512, 1024, 1024, 512, True),
-        (1024, 512, 512, 1024, 512, 512, True),
-        # separate dq/dkv kernels
-        (1024, 1024, 1024, 1024, 1024, 1024, False),
-        (512, 512, 512, 512, 512, 512, False),
+        (1024, 1024, 256, 1024, 1024, 256, True),
+        (1024, 1024, 512, 512, 1024, 512, True),
+        (512, 1024, 512, 1024, 1024, 512, True),
+        (1024, 1024, 256, 1024, 1024, 512, True),
+        (1024, 2048, 512, 1024, 1024, 512, True),
     ]
     results = []
     for cfg in configs:
