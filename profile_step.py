@@ -26,6 +26,8 @@ def main():
     parser.add_argument("--quantize", default=None)
     parser.add_argument("--model", default="llama2-1b")
     parser.add_argument("--bs", type=int, default=8)
+    parser.add_argument("--accum", type=int, default=1,
+                        help="micro-steps: tokens become [accum, bs, seq]")
     parser.add_argument("--seq", type=int, default=2048)
     parser.add_argument("--top", type=int, default=30)
     parser.add_argument("--out", default=None, help="trace dir (kept for TensorBoard)")
@@ -45,8 +47,12 @@ def main():
     optimizer = optim.adamw_bf16_sr(bf16_stochastic_rounding=False)
     state = init_train_state(qparams, optimizer)
     step_fn = make_train_step(cfg, optimizer)
+    shape = (
+        (args.accum, args.bs, args.seq) if args.accum > 1
+        else (args.bs, args.seq)
+    )
     tokens = jax.random.randint(
-        jax.random.PRNGKey(1), (args.bs, args.seq), 0, cfg.vocab_size, jnp.int32
+        jax.random.PRNGKey(1), shape, 0, cfg.vocab_size, jnp.int32
     )
     labels = jnp.roll(tokens, -1, axis=-1)
     key = jax.random.PRNGKey(2)

@@ -123,6 +123,11 @@ def _group_kernel(x_ref, cos_ref, sin_ref, out_ref, *, hd, inverse):
 
 
 def _pick_bs(S: int, cap: int = 1024) -> int:
+    if S % 8 != 0:
+        # a non-dividing bs would make the grid S//bs silently drop the
+        # sequence tail; gates (_supported_heads) route such S to the jnp
+        # path, so reaching here is a caller bug.
+        raise ValueError(f"rope kernels need S % 8 == 0, got S={S}")
     b, best = 8, 8
     while b <= min(S, cap):
         if S % b == 0:
@@ -246,7 +251,19 @@ def rope_ungroup_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _amax_kernel(y_ref, row_ref, col_ref):
+def _amax_kernel(y_ref, row_ref, colp_ref):
+    # row_ref block index (b, s, 0) is INVARIANT to the innermost grid dim
+    # p, so its revisits are consecutive — the one accumulator pattern
+    # Pallas TPU supports (output windows are NOT re-fetched on
+    # non-consecutive revisit; Mosaic interpret mode raises 'Revisited
+    # block' for it). The col absmax therefore CANNOT accumulate into a
+    # (0, p) block here (p changes every step — its revisits across (b, s)
+    # are non-consecutive, and on hardware the window would hold stale
+    # double-buffer contents from other pairs). Instead each (b, s, p)
+    # step writes its partial col max to a DISTINCT block of colp
+    # [B, S//bs, H*hd], written exactly once, and the [1, H*hd] reduction
+    # over (b, s) happens outside the kernel (ungroup_amax) — a few KB of
+    # f32, negligible next to the one read of y.
     if y_ref.shape[1] == 2:
         lo = y_ref[0, 0, 0].astype(jnp.float32)
         hi = y_ref[0, 1, 0].astype(jnp.float32)
@@ -254,26 +271,28 @@ def _amax_kernel(y_ref, row_ref, col_ref):
         lo = y_ref[0, 0, 0].astype(jnp.float32)
         hi = y_ref[0, 0, 1].astype(jnp.float32)
     p = pl.program_id(2)
-    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
     @pl.when(p == 0)
     def _():
         row_ref[:] = jnp.zeros_like(row_ref)
-
-    @pl.when(first)
-    def _():
-        col_ref[:] = jnp.zeros_like(col_ref)
 
     la, ha = jnp.abs(lo), jnp.abs(hi)
     m = jnp.maximum(
         jnp.max(la, axis=1, keepdims=True), jnp.max(ha, axis=1, keepdims=True)
     )
     row_ref[0] = jnp.maximum(row_ref[0], m)
-    cm = jnp.concatenate(
-        [jnp.max(la, axis=0, keepdims=True), jnp.max(ha, axis=0, keepdims=True)],
+    # partial col max as an (8, 2*hd) tile (Mosaic's minimum f32 block):
+    # reduce [bs, hd] over strided row groups so the tile holds real
+    # partials; the final max over all rows happens outside the kernel.
+    bs = la.shape[0]
+    cm8 = jnp.concatenate(
+        [
+            jnp.max(la.reshape(8, bs // 8, -1), axis=1),
+            jnp.max(ha.reshape(8, bs // 8, -1), axis=1),
+        ],
         axis=1,
     )
-    col_ref[:] = jnp.maximum(col_ref[:], cm)
+    colp_ref[:] = cm8
 
 
 def _ungroup_scale_kernel(y_ref, seed_ref, s_ref, q_ref, *, hd, axis, sr, salt):
@@ -318,25 +337,27 @@ def ungroup_amax(y: Array, *, interpret: bool = False):
     B, KV, G, S, hd = y.shape
     H = KV * G
     bs = _pick_bs(S)
-    row, col = pl.pallas_call(
+    n_s = S // bs
+    row, colp = pl.pallas_call(
         _amax_kernel,
-        grid=(B, S // bs, H // 2),
+        grid=(B, n_s, H // 2),
         in_specs=[_grouped_specs(B, KV, G, S, hd, bs)],
         out_specs=[
             pl.BlockSpec((1, bs, 1), lambda b, s, p: (b, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * hd), lambda b, s, p: (0, p),
+            pl.BlockSpec((8, 2 * hd), lambda b, s, p: (b * n_s + s, p),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, S, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, H * hd), jnp.float32),
+            jax.ShapeDtypeStruct((B * n_s * 8, H * hd), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(y)
+    col = jnp.max(colp, axis=0).reshape(1, H * hd)
     return row, col
 
 
@@ -431,8 +452,17 @@ def _use_kernel(x) -> bool:
         return False
 
 
-def _supported_heads(H: int, G: int, hd: int) -> bool:
-    return H % 2 == 0 and (G == 1 or G % 2 == 0) and hd % 8 == 0
+def _supported_heads(H: int, G: int, hd: int, S: int = 0) -> bool:
+    """Kernel admissibility. hd % 64: the kernels' last block dim is 2*hd
+    and must hit Mosaic's 128-lane tile (hd=8..56 would pass an hd%8 gate
+    and then fail Mosaic compilation); S % 8: _pick_bs needs a dividing
+    block size or the grid drops the sequence tail."""
+    return (
+        H % 2 == 0
+        and (G == 1 or G % 2 == 0)
+        and hd % 64 == 0
+        and S % 8 == 0
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -446,8 +476,8 @@ def rope_group(x: Array, cos: Array, sin: Array, kv: int) -> Array:
 
     cos/sin [S, hd] carry any scalar pre-scale (q's 1/sqrt(hd)); their
     cotangents are zero (rope tables are position constants)."""
-    H, hd = x.shape[2], x.shape[3]
-    if _use_kernel(x) and _supported_heads(H, H // kv, hd):
+    S, H, hd = x.shape[1], x.shape[2], x.shape[3]
+    if _use_kernel(x) and _supported_heads(H, H // kv, hd, S):
         c2, s2 = pair_tables(cos, sin)
         return rope_group_kernel(x, c2, s2, kv=kv)
     return rope_group_ref(x, cos, sin, kv)
@@ -459,8 +489,8 @@ def _rope_group_fwd(x, cos, sin, kv):
 
 def _rope_group_bwd(kv, res, dy):
     cos, sin = res
-    KV, G, hd = dy.shape[1], dy.shape[2], dy.shape[4]
-    if _use_kernel(dy) and _supported_heads(KV * G, G, hd):
+    KV, G, S, hd = dy.shape[1], dy.shape[2], dy.shape[3], dy.shape[4]
+    if _use_kernel(dy) and _supported_heads(KV * G, G, hd, S):
         c2, s2 = pair_tables(cos, sin)
         dx = rope_ungroup_kernel(dy, c2, s2, inverse=True)
     else:
@@ -481,7 +511,7 @@ def group_heads(x: Array, kv: int) -> Array:
     [B,KV,G,S,hd] (v, and the backward's dout)."""
     S, H, hd = x.shape[1], x.shape[2], x.shape[3]
     one, zero = _const_tables(S, hd, x.dtype)
-    if _use_kernel(x) and _supported_heads(H, H // kv, hd):
+    if _use_kernel(x) and _supported_heads(H, H // kv, hd, S):
         c2, s2 = pair_tables(one, zero)
         return rope_group_kernel(x, c2, s2, kv=kv)
     return rope_group_ref(x, one, zero, kv)
@@ -495,7 +525,7 @@ def _group_heads_bwd(kv, _res, dy):
     S, hd = dy.shape[3], dy.shape[4]
     KV, G = dy.shape[1], dy.shape[2]
     one, zero = _const_tables(S, hd, dy.dtype)
-    if _use_kernel(dy) and _supported_heads(KV * G, G, hd):
+    if _use_kernel(dy) and _supported_heads(KV * G, G, hd, S):
         c2, s2 = pair_tables(one, zero)
         return (rope_ungroup_kernel(dy, c2, s2, inverse=True),)
     return (rope_ungroup_ref(dy, one, zero, kv, inverse=True),)
@@ -510,7 +540,7 @@ def ungroup_heads(y: Array, kv: int) -> Array:
     [B,S,H,hd] (the attention output feeding o_proj)."""
     KV, G, S, hd = y.shape[1], y.shape[2], y.shape[3], y.shape[4]
     one, zero = _const_tables(S, hd, y.dtype)
-    if _use_kernel(y) and _supported_heads(KV * G, G, hd):
+    if _use_kernel(y) and _supported_heads(KV * G, G, hd, S):
         c2, s2 = pair_tables(one, zero)
         return rope_ungroup_kernel(y, c2, s2, inverse=True)
     return rope_ungroup_ref(y, one, zero, kv, inverse=True)
@@ -523,7 +553,7 @@ def _ungroup_heads_fwd(y, kv):
 def _ungroup_heads_bwd(kv, _res, dx):
     S, H, hd = dx.shape[1], dx.shape[2], dx.shape[3]
     one, zero = _const_tables(S, hd, dx.dtype)
-    if _use_kernel(dx) and _supported_heads(H, H // kv, hd):
+    if _use_kernel(dx) and _supported_heads(H, H // kv, hd, S):
         c2, s2 = pair_tables(one, zero)
         return (rope_group_kernel(dx, c2, s2, kv=kv),)
     return (rope_group_ref(dx, one, zero, kv),)

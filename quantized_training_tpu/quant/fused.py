@@ -632,13 +632,14 @@ def attn_out_linear(out_g: Array, w, kv: int, *, key=None) -> Array:
 
     B, KV, G, S, hd = out_g.shape
     H = KV * G
+    from ..ops.pallas_rope import _supported_heads
+
     fused = (
         isinstance(w, MixedPrecisionWeight)
         and _all_int8(w.config)
         and (H * hd) % 128 == 0
         and (B * S) % 256 == 0
-        and H % 2 == 0
-        and (G == 1 or G % 2 == 0)
+        and _supported_heads(H, G, hd, S)  # hd%64, S%8: kernel tiles
         and _fused_ok(B * S, H * hd, out_g.dtype)
     )
     if not fused:

@@ -87,8 +87,18 @@ def make_train_step(
                 g_acc = jax.tree.map(jnp.add, g_acc, g)
                 return (g_acc, loss_acc + loss), None
 
+            # Accumulate in the GRAD dtype (reference semantics: PyTorch
+            # .backward() accumulates into param.grad, which is bf16 for
+            # bf16 params). An fp32 accumulator doubles the scan carry —
+            # 4.4 GB at 1.1B params — and measured on v5e that pushed the
+            # program into XLA's memory-pressure rematerialization pass,
+            # which re-ran forward GEMMs (+270 ms/step of `.rematN` fusion
+            # clones in the bf16 4x4 profile, ~11% of the step) to shrink
+            # live ranges. bf16 accumulation removed the clones; loss-curve
+            # parity is covered by test_grad_accumulation_close_to_large_
+            # batch.
             zeros = jax.tree.map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), vparams
+                lambda p: jnp.zeros(p.shape, p.dtype), vparams
             )
             (grads, loss), _ = jax.lax.scan(
                 micro,

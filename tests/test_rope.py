@@ -132,3 +132,28 @@ def test_ungroup_quant_matches_oracle(kv):
     np.testing.assert_array_equal(
         np.asarray(q_col.reshape(B * S, H * hd)), np.asarray(ref_qc)
     )
+
+
+def test_supported_heads_gates():
+    """ADVICE r4: odd S would silently drop the sequence tail (grid S//bs)
+    and hd values that are multiples of 8 but not 64 fail Mosaic's
+    128-lane last-dim rule — both must be routed to the jnp path."""
+    from quantized_training_tpu.ops.pallas_rope import (
+        _pick_bs,
+        _supported_heads,
+    )
+
+    assert _supported_heads(32, 8, 64, 2048)
+    assert not _supported_heads(32, 8, 64, 100)  # S % 8 != 0
+    assert not _supported_heads(32, 8, 48, 2048)  # hd % 64 != 0
+    assert not _supported_heads(32, 8, 8, 2048)  # hd=8 passed the old gate
+    with pytest.raises(ValueError):
+        _pick_bs(100)
+
+    # gated wrappers fall back to the oracle (and agree with it) on odd S
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 100, 8, 64), jnp.float32)
+    cos = jnp.cos(jnp.arange(100 * 64, dtype=jnp.float32).reshape(100, 64))
+    sin = jnp.sin(jnp.arange(100 * 64, dtype=jnp.float32).reshape(100, 64))
+    got = rope_group(x, cos, sin, 4)
+    ref = rope_group_ref(x, cos, sin, 4)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
