@@ -24,6 +24,9 @@ import numpy as np
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quantize", default=None)
+    parser.add_argument("--quantize_kwargs", default=None,
+                        help="JSON kwargs for the scheme config "
+                        '(e.g. \'{"grad_weight": false}\')')
     parser.add_argument("--model", default="llama2-1b")
     parser.add_argument("--bs", type=int, default=8)
     parser.add_argument("--accum", type=int, default=1,
@@ -43,7 +46,10 @@ def main():
     cfg = {"llama2-1b": llama.LLAMA2_1B, "llama2-470m": llama.LLAMA2_470M}[args.model]
     cfg = dataclasses.replace(cfg, max_position_embeddings=args.seq, remat=True)
     params = llama.init_params(jax.random.PRNGKey(0), cfg)
-    qparams = quant.quantize_params(params, args.quantize)
+    import json
+
+    qkw = json.loads(args.quantize_kwargs) if args.quantize_kwargs else {}
+    qparams = quant.quantize_params(params, args.quantize, **qkw)
     optimizer = optim.adamw_bf16_sr(bf16_stochastic_rounding=False)
     state = init_train_state(qparams, optimizer)
     step_fn = make_train_step(cfg, optimizer)

@@ -556,31 +556,54 @@ def _silu_bwd_block(a_ref, b_ref, dy_ref):
     return silu_mul_bwd_f32(a_ref[:], b_ref[:], dy_ref[:])
 
 
-def _make_silu_bwd_row_kernel(eps, sr):
-    def kernel(a_ref, b_ref, dy_ref, seed_ref,
-               daq_ref, das_ref, dbq_ref, dbs_ref, daa_ref, dba_ref):
+def _make_silu_bwd_row_kernel(eps, sr, with_amax=True, with_bf16=False):
+    """Rowwise-int8 quantize of the silu-mul backward pair.
+
+    ``with_amax``: also accumulate per-column absmaxes (feeds the colwise
+    pass when grad_weight is int8). ``with_bf16``: also write (da, db)
+    rounded to the input dtype — the operands of a BF16 grad_weight matmul
+    when only grad_input is int8 (gw=False configs); emitting them here
+    keeps the backward at ONE read of (a, b, dy) instead of XLA's unfused
+    f32 chain (measured: a 25 ms/step f32 [B,S,F] transposing layout copy
+    plus duplicate f32 materializations at llama2-1b bs8)."""
+
+    def kernel(a_ref, b_ref, dy_ref, seed_ref, *out_refs):
+        refs = list(out_refs)
+        daq_ref, das_ref, dbq_ref, dbs_ref = refs[:4]
+        refs = refs[4:]
+        daa_ref = dba_ref = daf_ref = dbf_ref = None
+        if with_amax:
+            daa_ref, dba_ref = refs[:2]
+            refs = refs[2:]
+        if with_bf16:
+            daf_ref, dbf_ref = refs[:2]
         pid = pl.program_id(0)
         if sr:
             pltpu.prng_seed(_block_seed(seed_ref, pid, jnp.int32(29)))
         da, db = _silu_bwd_block(a_ref, b_ref, dy_ref)
 
-        @pl.when(pid == 0)
-        def _():
-            daa_ref[:] = jnp.zeros_like(daa_ref)
-            dba_ref[:] = jnp.zeros_like(dba_ref)
+        if with_amax:
 
-        for v, q_ref, s_ref, am_ref in (
-            (da, daq_ref, das_ref, daa_ref),
-            (db, dbq_ref, dbs_ref, dba_ref),
+            @pl.when(pid == 0)
+            def _():
+                daa_ref[:] = jnp.zeros_like(daa_ref)
+                dba_ref[:] = jnp.zeros_like(dba_ref)
+
+        for v, q_ref, s_ref, am_ref, f_ref in (
+            (da, daq_ref, das_ref, daa_ref, daf_ref),
+            (db, dbq_ref, dbs_ref, dba_ref, dbf_ref),
         ):
             ya = jnp.abs(v)
             scale = jnp.max(ya, axis=1, keepdims=True) * (1.0 / 127.0)
             q = _round_op(v * _inv_scale(scale, eps), sr)
             q_ref[:] = jnp.clip(q, -128, 127).astype(jnp.int8)
             s_ref[:] = scale
-            am_ref[:] = jnp.maximum(
-                am_ref[:], jnp.max(ya, axis=0, keepdims=True)
-            )
+            if with_amax:
+                am_ref[:] = jnp.maximum(
+                    am_ref[:], jnp.max(ya, axis=0, keepdims=True)
+                )
+            if with_bf16:
+                f_ref[:] = v.astype(f_ref.dtype)
 
     return kernel
 
@@ -601,7 +624,10 @@ def _make_silu_bwd_col_kernel(eps, sr):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "sr", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "sr", "interpret", "with_amax", "with_bf16"),
+)
 def silu_mul_bwd_quant_rowwise(
     a: Array,
     b: Array,
@@ -611,14 +637,20 @@ def silu_mul_bwd_quant_rowwise(
     eps: float = _EPS,
     sr: bool = False,
     interpret: bool = False,
+    with_amax: bool = True,
+    with_bf16: bool = False,
 ):
     """(dgate, dup) of y = silu(a)*b, rowwise-INT8, in ONE read of
     (a, b, dy) — the bf16 dgate/dup never exist. Returns
-    (da_q, da_s [M,1], db_q, db_s, da_col_amax [1,K], db_col_amax [1,K]);
-    the col amaxes feed :func:`silu_mul_bwd_quant_colwise` (one more
-    read instead of two)."""
+    (da_q, da_s [M,1], db_q, db_s[, da_col_amax [1,K], db_col_amax]
+    [, da_bf16, db_bf16]); the col amaxes feed
+    :func:`silu_mul_bwd_quant_colwise` (one more read instead of two),
+    the bf16 pair feeds BF16 grad_weight matmuls (gw=False configs)."""
     M, K = a.shape
     seed = _as_seed(seed)
+    # block sizing counts the 3 input tiles (same as the 6-output amax
+    # variant); the optional bf16 output pair adds ~25% resident VMEM on
+    # top, well under the 16 MB scoped limit at the 32-row floor
     bm = _pick_block(M, K, elem_bytes=3 * a.dtype.itemsize,
                      vmem_budget=_SILU_VMEM_BUDGET)
     if bm is None:
@@ -628,8 +660,29 @@ def silu_mul_bwd_quant_rowwise(
         pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
     amax_spec = pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec((bm, K), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_specs = io + io
+    out_shape = [
+        jax.ShapeDtypeStruct((M, K), jnp.int8),
+        jax.ShapeDtypeStruct((M, 1), jnp.float32),
+        jax.ShapeDtypeStruct((M, K), jnp.int8),
+        jax.ShapeDtypeStruct((M, 1), jnp.float32),
+    ]
+    if with_amax:
+        out_specs += [amax_spec, amax_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((1, K), jnp.float32),
+            jax.ShapeDtypeStruct((1, K), jnp.float32),
+        ]
+    if with_bf16:
+        out_specs += [full_spec, full_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((M, K), a.dtype),
+            jax.ShapeDtypeStruct((M, K), a.dtype),
+        ]
     out = pl.pallas_call(
-        _make_silu_bwd_row_kernel(eps, sr),
+        _make_silu_bwd_row_kernel(eps, sr, with_amax, with_bf16),
         grid=(M // bm,),
         in_specs=[
             pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -637,15 +690,8 @@ def silu_mul_bwd_quant_rowwise(
             pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
             _seed_spec(),
         ],
-        out_specs=io + io + [amax_spec, amax_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((M, K), jnp.int8),
-            jax.ShapeDtypeStruct((M, 1), jnp.float32),
-            jax.ShapeDtypeStruct((M, K), jnp.int8),
-            jax.ShapeDtypeStruct((M, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, K), jnp.float32),
-            jax.ShapeDtypeStruct((1, K), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),

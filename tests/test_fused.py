@@ -538,3 +538,126 @@ def test_mlp_linear_matches_unfused():
         gf, gu = np.asarray(gf, np.float32), np.asarray(gu, np.float32)
         denom = np.abs(gu).max() + 1e-6
         assert np.abs(gf - gu).max() / denom < 6e-2, np.abs(gf - gu).max() / denom
+
+
+@pytest.mark.parametrize(
+    "gi,gw",
+    [(True, False), (False, False)],
+    ids=["gi_only", "fwd_only"],
+)
+def test_mlp_linear_partial_configs_match_unfused(gi, gw):
+    """VERDICT r4 item 3: the fused producers now cover fwd-only and
+    fwd+grad_input configs (BF16 wgrads / dgrads branch), not just
+    all-INT8 — fused (interpret) must match the unfused composite."""
+    x = _mk((4, 64, 256), 50)
+    gamma = (1 + 0.1 * _mk((256,), 51, jnp.float32)).astype(jnp.bfloat16)
+    wg, wu = _mp_weights([(384, 256)] * 2, [52, 53],
+                         grad_input=gi, grad_weight=gw)
+    (wd,) = _mp_weights([(256, 384)], [54], grad_input=gi, grad_weight=gw)
+    key = jax.random.PRNGKey(6)
+
+    def run(x, gamma, g_d, u_d, d_d):
+        ws = [
+            quant.MixedPrecisionWeight(d, wg.config) for d in (g_d, u_d, d_d)
+        ]
+        out = quant.mlp_linear(x, gamma, ws[0], ws[1], ws[2], EPS, key=key)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    fused.set_impl("interpret")
+    try:
+        loss_f, grads_f = _grads(run, x, gamma, wg.data, wu.data, wd.data)
+    finally:
+        fused.set_impl("off")
+    try:
+        loss_u, grads_u = _grads(run, x, gamma, wg.data, wu.data, wd.data)
+    finally:
+        fused.set_impl("auto")
+
+    np.testing.assert_allclose(float(loss_f), float(loss_u), rtol=2e-2)
+    for gf, gu in zip(grads_f, grads_u):
+        gf, gu = np.asarray(gf, np.float32), np.asarray(gu, np.float32)
+        denom = np.abs(gu).max() + 1e-6
+        assert np.abs(gf - gu).max() / denom < 6e-2, (
+            np.abs(gf - gu).max() / denom
+        )
+
+
+@pytest.mark.parametrize("gi,gw", [(True, False), (False, False)],
+                         ids=["gi_only", "fwd_only"])
+def test_norm_and_attn_out_partial_configs_match_unfused(gi, gw):
+    x = _mk((4, 64, 256), 60)
+    gamma = (1 + 0.1 * _mk((256,), 61, jnp.float32)).astype(jnp.bfloat16)
+    ws = _mp_weights([(256, 256)] * 2, [62, 63],
+                     grad_input=gi, grad_weight=gw)
+    key = jax.random.PRNGKey(7)
+
+    def run_norm(x, gamma, *wdata):
+        weights = [
+            quant.MixedPrecisionWeight(d, ws[0].config) for d in wdata
+        ]
+        outs = quant.norm_linear_multi(x, gamma, weights, EPS, key=key)
+        return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in outs)
+
+    fused.set_impl("interpret")
+    try:
+        loss_f, grads_f = _grads(run_norm, x, gamma, *[w.data for w in ws])
+    finally:
+        fused.set_impl("off")
+    try:
+        loss_u, grads_u = _grads(run_norm, x, gamma, *[w.data for w in ws])
+    finally:
+        fused.set_impl("auto")
+    np.testing.assert_allclose(float(loss_f), float(loss_u), rtol=2e-2)
+    for gf, gu in zip(grads_f, grads_u):
+        gf, gu = np.asarray(gf, np.float32), np.asarray(gu, np.float32)
+        denom = np.abs(gu).max() + 1e-6
+        assert np.abs(gf - gu).max() / denom < 6e-2
+
+    # attn_out_linear: grouped [B,KV,G,S,hd] -> o-proj
+    B, KV, G, S, hd = 2, 2, 2, 64, 64
+    y = _mk((B, KV, G, S, hd), 64)
+    (w,) = _mp_weights([(256, KV * G * hd)], [65],
+                       grad_input=gi, grad_weight=gw)
+
+    def run_attn(y, wdata):
+        wq = quant.MixedPrecisionWeight(wdata, w.config)
+        out = quant.attn_out_linear(y, wq, KV, key=key)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    fused.set_impl("interpret")
+    try:
+        loss_f, grads_f = _grads(run_attn, y, w.data)
+    finally:
+        fused.set_impl("off")
+    try:
+        loss_u, grads_u = _grads(run_attn, y, w.data)
+    finally:
+        fused.set_impl("auto")
+    np.testing.assert_allclose(float(loss_f), float(loss_u), rtol=2e-2)
+    for gf, gu in zip(grads_f, grads_u):
+        gf, gu = np.asarray(gf, np.float32), np.asarray(gu, np.float32)
+        denom = np.abs(gu).max() + 1e-6
+        assert np.abs(gf - gu).max() / denom < 6e-2
+
+
+def test_silu_bwd_rowwise_bf16_variant():
+    """with_bf16=True returns the bf16 (da, db) pair alongside the
+    rowwise int8; with_amax=False drops the col amaxes."""
+    gate, up, dy = _mk((128, 256), 70), _mk((128, 256), 71), _mk((128, 256), 72)
+    da_q, da_s, db_q, db_s, da_bf, db_bf = pf.silu_mul_bwd_quant_rowwise(
+        gate, up, dy, interpret=True, with_amax=False, with_bf16=True
+    )
+    da_ref, db_ref = pf.silu_mul_bwd_f32(gate, up, dy)
+    np.testing.assert_allclose(
+        np.asarray(da_bf, np.float32), np.asarray(da_ref.astype(jnp.bfloat16),
+                                                  np.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(db_bf, np.float32), np.asarray(db_ref.astype(jnp.bfloat16),
+                                                  np.float32)
+    )
+    q_ref, s_ref = quantize_int8(da_ref.astype(jnp.float32), axis=1)
+    _q_close(da_q, q_ref)
+    # the 6-output all-int8 variant still returns amaxes
+    out = pf.silu_mul_bwd_quant_rowwise(gate, up, dy, interpret=True)
+    assert len(out) == 6 and out[4].shape == (1, 256)
