@@ -58,6 +58,80 @@ def measure(params, cfg, args, window_buckets):
     return n / dt, sorted(getattr(srv, "_decode_fns", {}))
 
 
+MIX_PROMPTS = (32, 96, 224, 480)
+MIX_BUDGETS = (64, 160, 320, 448)
+
+
+def _mixed_requests(n_req, vocab):
+    rng = np.random.default_rng(0)
+    reqs = []
+    for i in range(n_req):
+        n = MIX_PROMPTS[i % len(MIX_PROMPTS)]
+        reqs.append(
+            (rng.integers(1, vocab, size=n).tolist(),
+             MIX_BUDGETS[i % len(MIX_BUDGETS)])
+        )
+    return reqs
+
+
+def drain_mixed(srv, reqs):
+    for prompt, budget in reqs:
+        srv.add_request(prompt, max_new_tokens=budget)
+    n = 0
+    while srv.pending():
+        n += len(srv.step())
+    return n
+
+
+def measure_mixed(params, cfg, args, window_buckets):
+    """Queue-pressure load: 3x n_slots requests with mixed prompt lengths
+    and budgets; short requests finish early, freeing slots for queued
+    ones mid-flight (continuous batching + window switching under churn).
+    """
+    from quantized_training_tpu.models.serving import Server
+
+    srv = Server(params, cfg, n_slots=args.n_slots, max_len=args.max_len,
+                 window_buckets=window_buckets)
+    reqs = _mixed_requests(3 * args.n_slots, cfg.vocab_size)
+    drain_mixed(srv, reqs)  # warmup: compiles every bucket/window reached
+    t0 = time.perf_counter()
+    n = drain_mixed(srv, reqs)
+    dt = time.perf_counter() - t0
+    return n / dt, sorted(getattr(srv, "_decode_fns", {}))
+
+
+def measure_static_generate(params, cfg, args):
+    """The no-server baseline for the SAME mixed request set: static
+    batched generate() must pad every prompt to the longest and run every
+    sequence to the largest budget, in ceil(n_req / n_slots) sequential
+    batches; useful-token throughput = requested tokens / wall time."""
+    import jax.numpy as jnp
+
+    from quantized_training_tpu.models.llama_infer import generate
+
+    reqs = _mixed_requests(3 * args.n_slots, cfg.vocab_size)
+    useful = sum(b for _, b in reqs)
+    pmax = max(len(p) for p, _ in reqs)
+    bmax = max(b for _, b in reqs)
+    batches = []
+    for i in range(0, len(reqs), args.n_slots):
+        chunk = reqs[i:i + args.n_slots]
+        arr = np.zeros((len(chunk), pmax), np.int32)
+        for j, (p, _) in enumerate(chunk):
+            arr[j, -len(p):] = p  # left-pad: last position is real
+        batches.append(jnp.asarray(arr))
+
+    def run():
+        for b in batches:
+            out = generate(params, b, cfg, bmax, max_len=args.max_len)
+            np.asarray(jax.device_get(out[:, -1]))
+
+    run()  # warmup/compile
+    t0 = time.perf_counter()
+    run()
+    return useful / (time.perf_counter() - t0)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="llama2-1b")
@@ -66,6 +140,9 @@ def main():
     p.add_argument("--prompt_len", type=int, default=64)
     p.add_argument("--new_tokens", type=int, default=448)
     p.add_argument("--quantize", default=None)
+    p.add_argument("--load", choices=("uniform", "mixed"), default="uniform",
+                   help="mixed: 3x n_slots requests, mixed prompt lengths/"
+                   "budgets, plus a static batched generate() baseline")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -86,6 +163,17 @@ def main():
     params = llama.init_params(jax.random.PRNGKey(0), cfg)
     params = quant.quantize_params(params, args.quantize)
 
+    if args.load == "mixed":
+        tok_w, wins = measure_mixed(params, cfg, args, None)
+        log(f"windowed server (mixed load): {tok_w:.1f} tok/s "
+            f"(windows compiled: {wins})")
+        tok_f, _ = measure_mixed(params, cfg, args, (args.max_len,))
+        log(f"full-window server (mixed load): {tok_f:.1f} tok/s")
+        tok_s = measure_static_generate(params, cfg, args)
+        log(f"static batched generate (padded): {tok_s:.1f} useful tok/s")
+        log(f"windowed/full = {tok_w / tok_f:.3f}x, "
+            f"windowed/static = {tok_w / tok_s:.3f}x")
+        return
     tok_w, wins = measure(params, cfg, args, None)
     log(f"windowed decode: {tok_w:.1f} tok/s (windows compiled: {wins})")
     tok_f, _ = measure(params, cfg, args, (args.max_len,))
