@@ -8,11 +8,13 @@ on the forward and BOTH backward matmuls vs the BF16 baseline. The
 effective batch runs as 4 x bs4 gradient accumulation, IDENTICALLY for
 both configs (a single-batch bs16 program exceeds this environment's
 remote-compile helper; symmetric accumulation is the faithful proxy and
-is how an effective batch beyond device memory actually trains).
-Measured r4: int8 17.4k vs bf16 12.3k tok/s = 1.41x (bs8 single-batch:
-16.8k vs 13.6k = 1.23x — smaller microbatches double the per-token
-weight traffic, which int8's half-width weights absorb; the reference's
-own table is bs16 for the same reason).
+is how an effective batch beyond device memory actually trains). Grads
+accumulate in the GRAD dtype (reference semantics) — round 4's fp32
+accumulator pushed the bf16 program into XLA's memory-pressure
+rematerialization (+270 ms/step of re-run forward GEMMs) and inflated
+the ratio to 1.41x; on the fixed path accumulation helps BOTH configs
+and the honest ratio is ~1.25x (r5: int8 ~17.7k vs bf16 ~14.2k in the
+ladder run; profile audit in README "Per-op step budget").
 
 Timing note: sustained throughput — N steps dispatched back-to-back
 (donated state) with one loss readback at the end, the way a real
