@@ -68,18 +68,28 @@ def measure(scheme, min_k, bs=24, n=6):
 
 
 def main():
+    # bs fallback: Giant (1.8B params) + AdamW states + bs24 activations
+    # exceed 16 GB HBM on one v5e chip — step down until a batch fits,
+    # using the SAME bs for every scheme so the comparison stays fair
+    chosen_bs = None
     for name, scheme, min_k in [
         ("bf16", None, 0),
         ("int8-MP", "mixed_precision", 0),
         ("int8-MP min_k=1536", "mixed_precision", 1536),
     ]:
-        try:
-            log(f"measuring vit_giant {name} ...")
-            r = measure(scheme, min_k)
-            print(f"vit_giant bs24 {name}: {r:.1f} img/s", flush=True)
-        except Exception as e:
-            print(f"vit_giant bs24 {name}: FAIL {type(e).__name__}: {str(e)[:140]}",
-                  flush=True)
+        for bs in ([chosen_bs] if chosen_bs else [24, 12, 8, 4]):
+            try:
+                log(f"measuring vit_giant {name} bs{bs} ...")
+                r = measure(scheme, min_k, bs=bs)
+                print(f"vit_giant bs{bs} {name}: {r:.1f} img/s", flush=True)
+                chosen_bs = bs
+                break
+            except Exception as e:
+                print(
+                    f"vit_giant bs{bs} {name}: FAIL {type(e).__name__}: "
+                    f"{str(e)[:140]}",
+                    flush=True,
+                )
 
 
 if __name__ == "__main__":

@@ -111,8 +111,9 @@ def make_prefill(cfg: llama.LlamaConfig):
     return prefill
 
 
-def make_decode_step(cfg: llama.LlamaConfig, window: int | None = None):
-    """Jitted (params, state) -> (state, tokens [n_slots]).
+def make_decode_step(cfg: llama.LlamaConfig, window: int | None = None,
+                     n_steps: int = 1):
+    """Jitted (params, state) -> (state, tokens).
 
     One decode token for EVERY slot in one batched forward; inactive
     slots compute masked garbage and are left untouched (their pos and
@@ -123,10 +124,30 @@ def make_decode_step(cfg: llama.LlamaConfig, window: int | None = None):
     covering the deepest active slot, so decode attention cost scales
     with actual fill instead of ``max_len`` — one compile per window
     bucket actually reached. ``None`` attends over the full cache.
-    """
+
+    ``n_steps``: decode CHUNKS — ``n_steps`` tokens per slot in one
+    device program (a ``lax.scan`` over the single-step body), returned
+    as [n_steps, n_slots]. One host dispatch then costs one
+    host<->device round trip per n_steps tokens instead of per token;
+    through this environment's remote-execution tunnel (~25 ms/dispatch)
+    the single-step server decoded ~170 tok/s while 8 chunked slots
+    decode thousands. The Server caps the chunk at every active slot's
+    remaining budget, so chunking never overruns a request (EOS inside a
+    chunk wastes at most n_steps - 1 speculative tokens, which the host
+    discards). n_steps == 1 preserves the original [n_slots] return
+    shape."""
 
     @partial(jax.jit, donate_argnums=(1,))
     def step(params, state: ServeState):
+        if n_steps == 1:
+            return _one(params, state)
+
+        def body(st, _):
+            return _one(params, st)
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    def _one(params, state: ServeState):
         n_slots = state.pos.shape[0]
         S = state.cache.max_len
         W = S if window is None else min(window, S)
@@ -246,12 +267,18 @@ class Server:
 
     def __init__(self, params, cfg: llama.LlamaConfig, n_slots: int, max_len: int,
                  eos_token: int | None = None,
-                 window_buckets: tuple[int, ...] | None = None):
+                 window_buckets: tuple[int, ...] | None = None,
+                 decode_chunk: int = 16):
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
         self.max_len = max_len
         self.eos = eos_token
+        # max tokens decoded per device program (see make_decode_step
+        # n_steps); actual chunk per step() is the largest power of two
+        # <= min(decode_chunk, every active slot's remaining budget,
+        # remaining cache rows), so chunking never changes results
+        self.decode_chunk = max(1, decode_chunk)
         self.state = ServeState.zeros(cfg, n_slots, max_len)
         self._prefill = make_prefill(cfg)
         # decode attention windows: powers of two from 128 up to max_len
@@ -328,41 +355,72 @@ class Server:
             rid, prompt, budget = self._queue.pop(0)
             self._start(self._free.pop(), rid, prompt, budget)
 
-    def _decode_for(self, needed: int):
-        """Smallest compiled decode step whose window covers ``needed``."""
+    def _decode_for(self, needed: int, k: int = 1):
+        """Smallest compiled decode step whose window covers ``needed``,
+        decoding ``k`` tokens per dispatch (compiled lazily per (w, k))."""
         w = next(b for b in self._windows if b >= needed)
-        fn = self._decode_fns.get(w)
+        fn = self._decode_fns.get((w, k))
         if fn is None:
-            fn = self._decode_fns[w] = make_decode_step(
-                self.cfg, None if w == self.max_len else w
+            fn = self._decode_fns[(w, k)] = make_decode_step(
+                self.cfg, None if w == self.max_len else w, n_steps=k
             )
         return fn
 
+    def _pick_chunk(self) -> int:
+        """Largest power-of-two chunk that (a) no active slot's budget
+        can end before, (b) fits the cache for the deepest slot, and
+        (c) is <= decode_chunk — so chunked output is identical to
+        single-stepping, modulo discarded post-EOS speculation."""
+        cap = min(
+            self.decode_chunk,
+            min(self._budget[rid] for rid in self._slot_req.values()),
+            max(1, (self.max_len - 1)
+                - max(self._pos_host[s] for s in self._slot_req)),
+        )
+        k = 1
+        while k * 2 <= cap:
+            k *= 2
+        return k
+
     def step(self):
-        """One decode step for all active slots; returns [(rid, token)]
-        — including each request's FIRST token (produced by its prefill),
-        so a streaming consumer sees all max_new_tokens events."""
+        """One decode dispatch for all active slots; returns
+        [(rid, token)] — including each request's FIRST token (produced
+        by its prefill), so a streaming consumer sees all max_new_tokens
+        events. A dispatch decodes up to ``decode_chunk`` tokens per slot
+        device-side (see make_decode_step)."""
         self._admit()  # fill any slots freed since the last step
         emitted = self._pending_emit
         self._pending_emit = []
         if not self._slot_req:
             return emitted
-        # this step writes at each active slot's pos and attends <= pos
-        needed = max(self._pos_host[s] for s in self._slot_req) + 1
-        self.state, toks = self._decode_for(needed)(self.params, self.state)
+        k = self._pick_chunk()
+        # this dispatch writes rows [pos, pos + k) and attends <= pos+k-1
+        needed = max(self._pos_host[s] for s in self._slot_req) + k
+        self.state, toks = self._decode_for(needed, k)(self.params, self.state)
         toks = np.asarray(toks)
-        for slot, rid in list(self._slot_req.items()):
-            self._pos_host[slot] += 1
-            t = int(toks[slot])
-            self._results[rid].append(t)
-            self._budget[rid] -= 1
-            emitted.append((rid, t))
-            if (
-                self._budget[rid] <= 0
-                or t == self.eos
-                or self._pos_host[slot] >= self.max_len - 1
-            ):
-                self._finish(slot)
+        if toks.ndim == 1:
+            toks = toks[None]
+        done: set[int] = set()
+        for j in range(k):
+            for slot, rid in list(self._slot_req.items()):
+                if slot in done:
+                    continue
+                self._pos_host[slot] += 1
+                t = int(toks[j, slot])
+                self._results[rid].append(t)
+                self._budget[rid] -= 1
+                emitted.append((rid, t))
+                if (
+                    self._budget[rid] <= 0
+                    or t == self.eos
+                    or self._pos_host[slot] >= self.max_len - 1
+                ):
+                    # mid-chunk EOS: later rows for this slot are
+                    # speculative garbage — drop them. The device-side
+                    # pos advanced k regardless, but _finish frees the
+                    # slot and the next prefill restarts its position.
+                    done.add(slot)
+                    self._finish(slot)
         return emitted
 
     def result(self, rid: int) -> list[int]:

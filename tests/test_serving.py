@@ -123,7 +123,10 @@ def test_fifo_admission_order():
     jump ahead of them, even when a slot happens to be free (slots freed
     by _finish stay free until the next step's _admit)."""
     params = _params()
-    srv = Server(params, CFG, n_slots=1, max_len=64)
+    # decode_chunk=1: this test OBSERVES admission order by polling
+    # _slot_req between steps; with chunking a short request can be
+    # admitted and finished inside one step(), invisible to polling
+    srv = Server(params, CFG, n_slots=1, max_len=64, decode_chunk=1)
     r0 = srv.add_request([1, 2, 3], max_new_tokens=2)
     r1 = srv.add_request([4, 5, 6], max_new_tokens=2)  # queued behind r0
     # step until r0 finishes (its slot is freed mid-step by _finish)
@@ -176,14 +179,14 @@ def test_windowed_decode_crosses_buckets_exactly():
     while srv.pending():
         srv.step()
     assert srv.result(rid) == ref
-    assert set(srv._decode_fns) == {32, 48, 64}
+    assert {w for (w, _k) in srv._decode_fns} == {32, 48, 64}
 
     full = Server(params, CFG, n_slots=2, max_len=64, window_buckets=(64,))
     rid2 = full.add_request(prompt, max_new_tokens=n_new)
     while full.pending():
         full.step()
     assert full.result(rid2) == ref
-    assert set(full._decode_fns) == {64}
+    assert {w for (w, _k) in full._decode_fns} == {64}
 
 
 def test_non_power_of_two_max_len_bucket_capped():
@@ -211,3 +214,38 @@ def test_step_streams_first_token():
         events.extend(srv.step())
     toks = [t for r, t in events if r == rid]
     assert toks == srv.result(rid) and len(toks) == 5
+
+
+def test_chunked_decode_token_identical():
+    """decode_chunk > 1 runs k decode steps per device program
+    (make_decode_step n_steps); outputs must be token-identical to the
+    single-step server and to generate(), with mid-chunk EOS truncated."""
+    params = _params()
+    prompt = [3, 14, 15, 92, 6, 53]
+    n_new = 23  # not a power of two: exercises the chunk ladder 16/4/2/1
+    ref = _ref_generate(params, prompt, n_new)
+
+    srv1 = Server(params, CFG, n_slots=2, max_len=64, decode_chunk=1)
+    r1 = srv1.add_request(prompt, max_new_tokens=n_new)
+    while srv1.pending():
+        srv1.step()
+
+    srv16 = Server(params, CFG, n_slots=2, max_len=64, decode_chunk=16)
+    r16 = srv16.add_request(prompt, max_new_tokens=n_new)
+    while srv16.pending():
+        srv16.step()
+
+    assert srv1.result(r1) == ref
+    assert srv16.result(r16) == ref
+
+    # mid-chunk EOS: pick the 3rd generated token as "EOS" — the chunked
+    # server must truncate there and free the slot for the queued request
+    eos = ref[2]
+    srv_eos = Server(params, CFG, n_slots=1, max_len=64, decode_chunk=16,
+                     eos_token=eos)
+    ra = srv_eos.add_request(prompt, max_new_tokens=n_new)
+    rb = srv_eos.add_request(prompt, max_new_tokens=5)  # queued
+    while srv_eos.pending():
+        srv_eos.step()
+    assert srv_eos.result(ra) == ref[: ref.index(eos) + 1]
+    assert len(srv_eos.result(rb)) <= 5 and srv_eos.result(rb)
