@@ -341,6 +341,36 @@ def _tile_scaled_mm_kernel(a_ref, b_ref, sa_ref, sb_ref, out_ref, acc_ref, *, qk
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _tile_scaled_mm_kernel3(a_ref, b_ref, sa_ref, sb_ref, out_ref, acc_ref,
+                            *, qk, n_q):
+    """3D-scale-layout variant for n_qk > 32 (see tile_scaled_mm): sa
+    block (1, bm, n_q), sb block (1, n_q, bn) — same unrolled
+    two-accumulator loop."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_dtype = jnp.int32 if a_ref.dtype == jnp.int8 else jnp.float32
+    acc = acc_ref[:]
+    sa = sa_ref[0]
+    sb = sb_ref[0]
+    for j in range(n_q):
+        part = jax.lax.dot_general(
+            a_ref[:, j * qk : (j + 1) * qk],
+            b_ref[j * qk : (j + 1) * qk, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype,
+        )
+        acc = acc + part.astype(jnp.float32) * sa[:, j : j + 1] * sb[j : j + 1, :]
+    acc_ref[:] = acc
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("out_dtype", "block_m", "block_n", "interpret"),
@@ -382,27 +412,69 @@ def tile_scaled_mm(
 
     bm, bn = min(block_m, _round_up(M, 128)), min(block_n, _round_up(N, 128))
     assert qk >= 128, f"K quant block ({qk}) must be >= 128"
-    # unroll up to 16 quant blocks per grid step (amortizes the A/B DMAs)
-    n_q = 1
-    for cand in (16, 8, 4, 2):
-        if n_qk % cand == 0 and cand * qk <= 4096:
-            n_q = cand
-            break
-    bk = n_q * qk
     Mp, Np = _round_up(M, bm), _round_up(N, bn)
     a = _pad2(a, Mp, K)
     b = _pad2(b, K, Np)
-    sa_full = _pad2(sa_full, Mp, n_qk)
-    sb_full = _pad2(sb_full, n_qk, Np)
 
+    # Mosaic's block rule constrains the SCALE blocks: the natural-layout
+    # sa block (bm, n_q) has n_q on the lane dim, which must equal the
+    # array's n_qk or be a 128-multiple. So for n_qk <= 32 the quant
+    # blocks unroll FULLY (n_q = n_qk, one K grid step — this is also the
+    # fastest shape: no accumulator revisit; r4's partial unroll silently
+    # failed this rule at 4096^3, where n_q=16 < n_qk=32 made every
+    # config raise at lowering and the kernel fell to its DMA-bound
+    # default). For larger n_qk the scales move to a 3D layout
+    # [KB/n_q, {M|n_q}, {n_q|N}] whose lane dim is n_q (block == array
+    # dim) at the cost of Mosaic lane-padding the (1, bm, n_q) block.
+    if n_qk <= 32:
+        n_q = n_qk
+        bk = K
+        sa_full = _pad2(sa_full, Mp, n_qk)
+        sb_full = _pad2(sb_full, n_qk, Np)
+        out = pl.pallas_call(
+            functools.partial(_tile_scaled_mm_kernel, qk=qk, n_q=n_q),
+            grid=(Mp // bm, Np // bn, 1),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, k: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bk, bn), lambda i, j, k: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, n_q), lambda i, j, k: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_q, bn), lambda i, j, k: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(a, b, sa_full, sb_full)
+        return out[:M, :N]
+
+    n_q = 16
+    while n_qk % n_q:
+        n_q //= 2
+    bk = n_q * qk
+    n_kb = n_qk // n_q
+    sa3 = _pad2(sa_full, Mp, n_qk).reshape(Mp, n_kb, n_q).transpose(1, 0, 2)
+    sb3 = _pad2(sb_full, n_qk, Np).reshape(n_kb, n_q, Np)
     out = pl.pallas_call(
-        functools.partial(_tile_scaled_mm_kernel, qk=qk, n_q=n_q),
-        grid=(Mp // bm, Np // bn, n_qk // n_q),
+        functools.partial(_tile_scaled_mm_kernel3, qk=qk, n_q=n_q),
+        grid=(Mp // bm, Np // bn, n_kb),
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, n_q), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_q, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm, n_q), lambda i, j, k: (k, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_q, bn), lambda i, j, k: (k, 0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
@@ -413,7 +485,7 @@ def tile_scaled_mm(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(a, b, sa_full, sb_full)
+    )(a, b, sa3, sb3)
     return out[:M, :N]
 
 

@@ -58,6 +58,19 @@ class TestPallasTileScaledMM:
         ref = scaled_mm_ref(a, b, sa, sb)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
 
+    def test_int8_tile_deep_k_3d_scale_layout(self):
+        """n_qk > 32 routes to the 3D-scale-layout kernel (the natural
+        2D layout's (bm, n_q) scale block violates Mosaic's lane rule
+        when n_q < n_qk — the r4 4096^3 cliff)."""
+        M, K, N = 64, 128 * 40, 128  # n_qk = 40 -> n_q = 8, 5 K-steps
+        ks = jax.random.split(jax.random.PRNGKey(5), 4)
+        a, b = _ri8(ks[0], (M, K)), _ri8(ks[1], (K, N))
+        sa = jax.random.uniform(ks[2], (M // 64, K // 128)) * 0.1
+        sb = jax.random.uniform(ks[3], (K // 128, N // 128)) * 0.1
+        out = pallas_mm.tile_scaled_mm(a, b, sa, sb, out_dtype=jnp.float32, **KW)
+        ref = scaled_mm_ref(a, b, sa, sb)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
 
 class TestPallasMatmul:
     def test_int8_exact(self):
