@@ -27,7 +27,10 @@ def measure(scheme, min_k, bs=24, n=6):
             return _default_filter(path, leaf) and leaf.shape[-1] >= min_k
 
     qparams = quant.quantize_params(params, scheme, filter_fn=filter_fn)
-    optimizer = optim.get_optimizer("adamw")
+    # bf16 optimizer states: fp32 AdamW m+v alone are ~14 GB at Giant's
+    # 1.8B params (the whole chip); bf16-SR states are the reference's
+    # own answer at this scale (optimizers/adamw_bf16.py)
+    optimizer = optim.adamw_bf16_sr(bf16_stochastic_rounding=False)
     opt_state = optimizer.init(quant.virtual_params(qparams))
     images = jax.random.normal(
         jax.random.PRNGKey(1), (bs, cfg.image_size, cfg.image_size, 3), jnp.bfloat16

@@ -91,7 +91,8 @@ def measure_mixed(params, cfg, args, window_buckets):
     from quantized_training_tpu.models.serving import Server
 
     srv = Server(params, cfg, n_slots=args.n_slots, max_len=args.max_len,
-                 window_buckets=window_buckets)
+                 window_buckets=window_buckets,
+                 decode_chunk=args.decode_chunk)
     reqs = _mixed_requests(3 * args.n_slots, cfg.vocab_size)
     drain_mixed(srv, reqs)  # warmup: compiles every bucket/window reached
     t0 = time.perf_counter()
@@ -140,6 +141,8 @@ def main():
     p.add_argument("--prompt_len", type=int, default=64)
     p.add_argument("--new_tokens", type=int, default=448)
     p.add_argument("--quantize", default=None)
+    p.add_argument("--decode_chunk", type=int, default=16,
+                   help="device-side decode chunk (tokens per dispatch)")
     p.add_argument("--load", choices=("uniform", "mixed"), default="uniform",
                    help="mixed: 3x n_slots requests, mixed prompt lengths/"
                    "budgets, plus a static batched generate() baseline")
