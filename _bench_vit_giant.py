@@ -2,6 +2,7 @@
 bf16 vs int8-MP train throughput, device-resident data (VERDICT r3 item 8)."""
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +38,10 @@ def measure(scheme, min_k, bs=24, n=6):
     )
     labels = jax.random.randint(jax.random.PRNGKey(2), (bs,), 0, cfg.num_classes, jnp.int32)
 
-    @jax.jit
+    # donate params+opt state: without aliasing, XLA holds input AND
+    # output copies of ~6.6 GB of state in flight — at Giant scale that
+    # alone OOMs the 16 GB chip
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step(qparams, opt_state, skey):
         v = quant.virtual_params(qparams)
 

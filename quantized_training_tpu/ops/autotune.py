@@ -296,8 +296,9 @@ def sweep_scaled_int4_mm(M: int, K: int, N: int, verbose=True):
     from . import pallas_mm
 
     kx, kw = jax.random.split(jax.random.PRNGKey(0))
-    a_packed = jax.random.randint(kx, (M, K // 2), 0, 256, jnp.int32).astype(jnp.uint8)
-    b_packed = jax.random.randint(kw, (N, K // 2), 0, 256, jnp.int32).astype(jnp.uint8)
+    # packed nibbles are SIGNED int8 (quant/core.py layout)
+    a_packed = jax.random.randint(kx, (M, K // 2), -128, 128, jnp.int8)
+    b_packed = jax.random.randint(kw, (N, K // 2), -128, 128, jnp.int8)
     rs = jnp.ones((M,), jnp.float32)
     cs = jnp.ones((N,), jnp.float32)
 

@@ -569,9 +569,14 @@ def _unpack_hi_lo(packed):
     """int8 [r, c] of nibble pairs -> (hi [r, c], lo [r, c]) sign-extended.
 
     hi holds the EVEN logical elements (high nibble), lo the odd ones
-    (quant/core.py pack layout). Arithmetic shifts sign-extend."""
-    hi = packed >> 4
-    lo = (packed << 4).astype(jnp.int8) >> 4
+    (quant/core.py pack layout). Shifts run in int32: Mosaic refuses to
+    legalize the unsigned i8 shift (`arith.shrui`) the old uint8-typed
+    expression lowered to, and i32 arithmetic shifts are the supported
+    form. For a sign-extended int8 input, bits 8..31 replicate the high
+    nibble's sign bit, so `p32 >> 4` IS the sign-extended high nibble."""
+    p32 = packed.astype(jnp.int32)
+    hi = (p32 >> 4).astype(jnp.int8)
+    lo = ((p32 << 28) >> 28).astype(jnp.int8)
     return hi, lo
 
 
@@ -630,6 +635,13 @@ def scaled_int4_mm(
     Blocks not passed explicitly resolve through the autotune cache with
     a (512, 512, 1024) fallback.
     """
+    # nibble semantics are SIGNED: reinterpret uint8-packed operands so
+    # the in-kernel sign extension is correct (and Mosaic never sees an
+    # unsigned shift)
+    if a_packed.dtype == jnp.uint8:
+        a_packed = jax.lax.bitcast_convert_type(a_packed, jnp.int8)
+    if b_t_packed.dtype == jnp.uint8:
+        b_t_packed = jax.lax.bitcast_convert_type(b_t_packed, jnp.int8)
     M, Kp = a_packed.shape
     N = b_t_packed.shape[0]
     assert b_t_packed.shape[1] == Kp
