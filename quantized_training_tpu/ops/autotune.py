@@ -525,7 +525,9 @@ def main(argv=None):
             save_entry("tile_scaled_mm", "int8", M, K, N, blocks, tf)
         else:
             blocks, tf, _ = sweep_scaled_int4_mm(M, K, N)
-            save_entry("scaled_int4_mm", "uint8", M, K, N, blocks, tf)
+            # keyed int8: the wrapper bitcasts uint8-packed operands to
+            # int8 before the cache lookup (nibbles are signed)
+            save_entry("scaled_int4_mm", "int8", M, K, N, blocks, tf)
         print(f"BEST {M}x{K}x{N}: {blocks} @ {tf:.1f} TFLOPS", file=sys.stderr)
 
 
