@@ -37,7 +37,45 @@ from ..ops import pallas_fused as pf
 from ..ops.scaled_mm import scaled_mm_general
 from . import mixed_precision as _mp
 from .core import quantize_int8, quantize_int8_both
-from .mixed_precision import MixedPrecisionWeight, _all_int8, _pad_tokens
+from .mixed_precision import (
+    MixedPrecisionWeight,
+    PreQuantMPWeight,
+    _all_int8,
+    _pad_tokens,
+)
+
+# Weight types the fused producers accept. PreQuantMPWeight (per-step
+# pre-quantized views, QT_PREQUANT) rides the same custom_vjps with its
+# row/col int8 views passed alongside the bf16 master; a 0-sized view
+# (dynamic MixedPrecisionWeight, or a mode-restricted prequant) selects
+# the in-op dynamic quantize — a static shape branch, the
+# _mp_linear_pq pattern. Measured at llama2-1b 4x4 eff-16 (r5): fused
+# producers save ~35 ms/step and prequantized weights ~46 ms/step on
+# DISJOINT HBM passes, so they compose.
+_FUSED_WEIGHT_TYPES = (MixedPrecisionWeight, PreQuantMPWeight)
+
+
+def _w_views(w):
+    """MixedPrecision/PreQuant weight -> (orig, row_q, row_s, col_q,
+    col_s) with 0-sized placeholders where no precomputed view exists."""
+    if isinstance(w, PreQuantMPWeight):
+        return w.orig, w.row_q, w.row_s, w.col_q, w.col_s
+    z, s = _mp._placeholder(w.data)
+    return w.data, z, s, z, s
+
+
+def _row_view(w, rq, rs, sr, key):
+    """Forward (rowwise) int8 view of w: precomputed or dynamic."""
+    if rq.size:
+        return rq, rs
+    return quantize_int8(w, axis=1, stochastic_rounding=sr, key=key)
+
+
+def _col_view(w, cq, cs, sr, key):
+    """grad_input (colwise) int8 view of w: precomputed or dynamic."""
+    if cq.size:
+        return cq, cs
+    return quantize_int8(w, axis=0, stochastic_rounding=sr, key=key)
 
 
 def _fusable_cfg(config) -> bool:
@@ -162,7 +200,8 @@ def _rmsnorm_bwd(x2d: Array, gamma: Array, dy: Array, eps: float):
 # ---------------------------------------------------------------------------
 
 
-def _norm_mm_impl(config, eps, interpret, x2d, gamma, ws, key):
+def _norm_mm_impl(config, eps, interpret, x2d, gamma, ws, row_qs, row_ss,
+                  col_qs, col_ss, key):
     sr = config.stochastic_rounding
     seed = _kseed(_sub(key, 0)) if sr else None
     # with_col_amax (int8 grad_weight only): the rowwise kernel also
@@ -185,9 +224,7 @@ def _norm_mm_impl(config, eps, interpret, x2d, gamma, ws, key):
     outs = []
     for i, w in enumerate(ws):
         kw = jax.random.fold_in(_sub(key, 1), i) if sr else None
-        w_row, w_row_s = quantize_int8(
-            w, axis=1, stochastic_rounding=sr, key=kw
-        )
+        w_row, w_row_s = _row_view(w, row_qs[i], row_ss[i], sr, kw)
         outs.append(
             scaled_mm_general(
                 y_row, w_row, y_row_s, w_row_s, dims=(1, 1),
@@ -198,13 +235,21 @@ def _norm_mm_impl(config, eps, interpret, x2d, gamma, ws, key):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _norm_mm(config, eps: float, interpret: bool, x2d, gamma, ws, key):
-    return _norm_mm_impl(config, eps, interpret, x2d, gamma, ws, key)[0]
+def _norm_mm(config, eps: float, interpret: bool, x2d, gamma, ws, row_qs,
+             row_ss, col_qs, col_ss, key):
+    return _norm_mm_impl(
+        config, eps, interpret, x2d, gamma, ws, row_qs, row_ss, col_qs,
+        col_ss, key,
+    )[0]
 
 
-def _norm_mm_fwd(config, eps, interpret, x2d, gamma, ws, key):
-    outs, col_amax = _norm_mm_impl(config, eps, interpret, x2d, gamma, ws, key)
-    return outs, (x2d, gamma, ws, key, col_amax)
+def _norm_mm_fwd(config, eps, interpret, x2d, gamma, ws, row_qs, row_ss,
+                 col_qs, col_ss, key):
+    outs, col_amax = _norm_mm_impl(
+        config, eps, interpret, x2d, gamma, ws, row_qs, row_ss, col_qs,
+        col_ss, key,
+    )
+    return outs, (x2d, gamma, ws, col_qs, col_ss, key, col_amax)
 
 
 def _bf16_wgrad(g, h):
@@ -216,7 +261,7 @@ def _bf16_wgrad(g, h):
 
 
 def _norm_mm_bwd(config, eps, interpret, res, gs):
-    x2d, gamma, ws, key, col_amax = res
+    x2d, gamma, ws, col_qs, col_ss, key, col_amax = res
     sr = config.stochastic_rounding
     gi8, gw8 = config.grad_input, config.grad_weight
     if gw8:
@@ -249,9 +294,7 @@ def _norm_mm_bwd(config, eps, interpret, res, gs):
                 g, axis=1, stochastic_rounding=sr, key=kg
             )
         if gi8:
-            w_col, w_col_s = quantize_int8(
-                w, axis=0, stochastic_rounding=sr, key=kw
-            )
+            w_col, w_col_s = _col_view(w, col_qs[i], col_ss[i], sr, kw)
             gi = scaled_mm_general(
                 g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=w.dtype
             )
@@ -268,7 +311,9 @@ def _norm_mm_bwd(config, eps, interpret, res, gs):
         else:
             grad_ws.append(_bf16_wgrad(g, h))
     dx, dgamma = _rmsnorm_bwd(x2d, gamma, dy, eps)
-    return dx, dgamma, tuple(grad_ws), None
+    n = len(ws)
+    return (dx, dgamma, tuple(grad_ws), (None,) * n, (None,) * n,
+            (None,) * n, (None,) * n, None)
 
 
 _norm_mm.defvjp(_norm_mm_fwd, _norm_mm_bwd)
@@ -282,11 +327,11 @@ def norm_linear_multi(x, gamma, weights, eps, *, key=None):
     ``qlinear_multi(...)`` — which is exactly the fallback path.
     """
     configs = {
-        w.config for w in weights if isinstance(w, MixedPrecisionWeight)
+        w.config for w in weights if isinstance(w, _FUSED_WEIGHT_TYPES)
     }
     fused = (
         len(configs) == 1
-        and all(isinstance(w, MixedPrecisionWeight) for w in weights)
+        and all(isinstance(w, _FUSED_WEIGHT_TYPES) for w in weights)
         and _fusable_cfg(next(iter(configs)))
     )
     if fused:
@@ -304,13 +349,16 @@ def norm_linear_multi(x, gamma, weights, eps, *, key=None):
         if cfg.stochastic_rounding:
             raise ValueError("stochastic_rounding requires a PRNG key")
         key = jax.random.PRNGKey(0)
+    views = [_w_views(w) for w in weights]
     outs = _norm_mm(
         cfg, float(eps), _interpret(), x2d, gamma,
-        tuple(w.data for w in weights), key,
+        tuple(v[0] for v in views), tuple(v[1] for v in views),
+        tuple(v[2] for v in views), tuple(v[3] for v in views),
+        tuple(v[4] for v in views), key,
     )
     batch_dims = x.shape[:-1]
     return [
-        o[:M].reshape(*batch_dims, w.data.shape[0])
+        o[:M].reshape(*batch_dims, w.shape[-2])
         for o, w in zip(outs, weights)
     ]
 
@@ -320,7 +368,7 @@ def norm_linear_multi(x, gamma, weights, eps, *, key=None):
 # ---------------------------------------------------------------------------
 
 
-def _silu_mm_impl(config, interpret, a2d, b2d, w, key):
+def _silu_mm_impl(config, interpret, a2d, b2d, w, rq, rs, cq, cs, key):
     sr = config.stochastic_rounding
     seed = _kseed(_sub(key, 0)) if sr else None
     if config.grad_weight:
@@ -343,17 +391,20 @@ def _silu_mm_impl(config, interpret, a2d, b2d, w, key):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _silu_mm(config, interpret: bool, a2d, b2d, w, key):
-    return _silu_mm_impl(config, interpret, a2d, b2d, w, key)[0]
+def _silu_mm(config, interpret: bool, a2d, b2d, w, rq, rs, cq, cs, key):
+    return _silu_mm_impl(config, interpret, a2d, b2d, w, rq, rs, cq, cs,
+                         key)[0]
 
 
-def _silu_mm_fwd(config, interpret, a2d, b2d, w, key):
-    out, col_amax = _silu_mm_impl(config, interpret, a2d, b2d, w, key)
-    return out, (a2d, b2d, w, key, col_amax)
+def _silu_mm_fwd(config, interpret, a2d, b2d, w, rq, rs, cq, cs, key):
+    out, col_amax = _silu_mm_impl(
+        config, interpret, a2d, b2d, w, rq, rs, cq, cs, key
+    )
+    return out, (a2d, b2d, w, cq, cs, key, col_amax)
 
 
 def _silu_mm_bwd(config, interpret, res, g):
-    a2d, b2d, w, key, col_amax = res
+    a2d, b2d, w, cq, cs, key, col_amax = res
     g = g.astype(a2d.dtype)
     sr = config.stochastic_rounding
     gi8, gw8 = config.grad_input, config.grad_weight
@@ -369,9 +420,7 @@ def _silu_mm_bwd(config, interpret, res, g):
             g, axis=1, stochastic_rounding=sr, key=kg
         )
     if gi8:
-        w_col, w_col_s = quantize_int8(
-            w, axis=0, stochastic_rounding=sr, key=kw
-        )
+        w_col, w_col_s = _col_view(w, cq, cs, sr, kw)
         dy = scaled_mm_general(
             g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=w.dtype
         )
@@ -398,7 +447,7 @@ def _silu_mm_bwd(config, interpret, res, g):
     db = (dyf * silu.astype(jnp.float32)).astype(b2d.dtype)
     dsilu = s * (1.0 + af * (1.0 - s))
     da = (dyf * b2d.astype(jnp.float32) * dsilu).astype(a2d.dtype)
-    return da, db, grad_w, None
+    return da, db, grad_w, None, None, None, None, None
 
 
 _silu_mm.defvjp(_silu_mm_fwd, _silu_mm_bwd)
@@ -409,7 +458,7 @@ def silu_mul_linear(gate, up, w, *, key=None):
     quantize for all-INT8 mixed-precision weights.
 
     Drop-in for ``jax.nn.silu(gate) * up`` followed by ``qlinear``."""
-    fused = isinstance(w, MixedPrecisionWeight) and _fusable_cfg(w.config)
+    fused = isinstance(w, _FUSED_WEIGHT_TYPES) and _fusable_cfg(w.config)
     if fused:
         a2d = gate.reshape(-1, gate.shape[-1])
         b2d = up.reshape(-1, up.shape[-1])
@@ -428,9 +477,10 @@ def silu_mul_linear(gate, up, w, *, key=None):
         if w.config.stochastic_rounding:
             raise ValueError("stochastic_rounding requires a PRNG key")
         key = jax.random.PRNGKey(0)
-    out = _silu_mm(w.config, _interpret(), a2d, b2d, w.data, key)[:M]
+    wv = _w_views(w)
+    out = _silu_mm(w.config, _interpret(), a2d, b2d, *wv, key)[:M]
     batch_dims = gate.shape[:-1]
-    return out.reshape(*batch_dims, w.data.shape[0])
+    return out.reshape(*batch_dims, w.shape[-2])
 
 
 # ---------------------------------------------------------------------------
@@ -438,7 +488,9 @@ def silu_mul_linear(gate, up, w, *, key=None):
 # ---------------------------------------------------------------------------
 
 
-def _mlp_mm_impl(config, eps, interpret, x2d, gamma, wg, wu, wd, key):
+def _mlp_mm_impl(config, eps, interpret, x2d, gamma, ws, row_qs, row_ss,
+                 col_qs, col_ss, key):
+    wg, wu, wd = ws
     sr = config.stochastic_rounding
     gw8 = config.grad_weight
     seed = _kseed(_sub(key, 0)) if sr else None
@@ -458,7 +510,7 @@ def _mlp_mm_impl(config, eps, interpret, x2d, gamma, wg, wu, wd, key):
     outs = []
     for i, w in enumerate((wg, wu)):
         kw = jax.random.fold_in(_sub(key, 1), i) if sr else None
-        w_row, w_row_s = quantize_int8(w, axis=1, stochastic_rounding=sr, key=kw)
+        w_row, w_row_s = _row_view(w, row_qs[i], row_ss[i], sr, kw)
         outs.append(
             scaled_mm_general(
                 h_q, w_row, h_s, w_row_s, dims=(1, 1), out_dtype=x2d.dtype
@@ -478,7 +530,7 @@ def _mlp_mm_impl(config, eps, interpret, x2d, gamma, wg, wu, wd, key):
         act_camax = None
     act_s = act_s.astype(x2d.dtype)
     kw = _sub(key, 3) if sr else None
-    wd_row, wd_row_s = quantize_int8(wd, axis=1, stochastic_rounding=sr, key=kw)
+    wd_row, wd_row_s = _row_view(wd, row_qs[2], row_ss[2], sr, kw)
     out = scaled_mm_general(
         act_q, wd_row, act_s, wd_row_s, dims=(1, 1), out_dtype=x2d.dtype
     )
@@ -486,7 +538,8 @@ def _mlp_mm_impl(config, eps, interpret, x2d, gamma, wg, wu, wd, key):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _mlp_mm(config, eps: float, interpret: bool, x2d, gamma, wg, wu, wd, key):
+def _mlp_mm(config, eps: float, interpret: bool, x2d, gamma, ws, row_qs,
+            row_ss, col_qs, col_ss, key):
     """Whole llama MLP as ONE quantized op: rms_norm -> gate/up -> silu*mul
     -> down, with every producer fused into its input quantize.
 
@@ -501,18 +554,26 @@ def _mlp_mm(config, eps: float, interpret: bool, x2d, gamma, wg, wu, wd, key):
     (absmax/127 per matmul, per-matmul re-quantization as in
     subclasses/mixed_precision.py:100-134); like every fused producer
     here the quantize sees unrounded fp32 values (1-LSB policy)."""
-    return _mlp_mm_impl(config, eps, interpret, x2d, gamma, wg, wu, wd, key)[0]
+    return _mlp_mm_impl(
+        config, eps, interpret, x2d, gamma, ws, row_qs, row_ss, col_qs,
+        col_ss, key,
+    )[0]
 
 
-def _mlp_mm_fwd(config, eps, interpret, x2d, gamma, wg, wu, wd, key):
+def _mlp_mm_fwd(config, eps, interpret, x2d, gamma, ws, row_qs, row_ss,
+                col_qs, col_ss, key):
     out, (gate, up, h_camax, act_camax) = _mlp_mm_impl(
-        config, eps, interpret, x2d, gamma, wg, wu, wd, key
+        config, eps, interpret, x2d, gamma, ws, row_qs, row_ss, col_qs,
+        col_ss, key,
     )
-    return out, (x2d, gamma, wg, wu, wd, key, gate, up, h_camax, act_camax)
+    return out, (
+        x2d, gamma, ws, col_qs, col_ss, key, gate, up, h_camax, act_camax
+    )
 
 
 def _mlp_mm_bwd(config, eps, interpret, res, g):
-    x2d, gamma, wg, wu, wd, key, gate, up, h_camax, act_camax = res
+    x2d, gamma, ws, col_qs, col_ss, key, gate, up, h_camax, act_camax = res
+    wg, wu, wd = ws
     g = g.astype(x2d.dtype)
     sr = config.stochastic_rounding
     gi8, gw8 = config.grad_input, config.grad_weight  # gw8 implies gi8
@@ -530,9 +591,7 @@ def _mlp_mm_bwd(config, eps, interpret, res, g):
             g, axis=1, stochastic_rounding=sr, key=kg
         )
     if gi8:
-        wd_col, wd_col_s = quantize_int8(
-            wd, axis=0, stochastic_rounding=sr, key=kw
-        )
+        wd_col, wd_col_s = _col_view(wd, col_qs[2], col_ss[2], sr, kw)
         dact = scaled_mm_general(
             g_row, wd_col, g_row_s, wd_col_s, dims=(1, 0), out_dtype=wd.dtype
         )
@@ -598,9 +657,7 @@ def _mlp_mm_bwd(config, eps, interpret, res, g):
         if gi8:
             v_row, v_row_s = dgu[i]
             kw = jax.random.fold_in(_sub(key, 9), i) if sr else None
-            w_col, w_col_s = quantize_int8(
-                w, axis=0, stochastic_rounding=sr, key=kw
-            )
+            w_col, w_col_s = _col_view(w, col_qs[i], col_ss[i], sr, kw)
             di = scaled_mm_general(
                 v_row, w_col, v_row_s.astype(w.dtype), w_col_s,
                 dims=(1, 0), out_dtype=w.dtype,
@@ -621,7 +678,8 @@ def _mlp_mm_bwd(config, eps, interpret, res, g):
         else:
             grads_w.append(_bf16_wgrad((da_bf, db_bf)[i], h))
     dx, dgamma = _rmsnorm_bwd(x2d, gamma, dh, eps)
-    return dx, dgamma, grads_w[0], grads_w[1], wd_grad, None
+    return (dx, dgamma, (grads_w[0], grads_w[1], wd_grad),
+            (None,) * 3, (None,) * 3, (None,) * 3, (None,) * 3, None)
 
 
 _mlp_mm.defvjp(_mlp_mm_fwd, _mlp_mm_bwd)
@@ -634,16 +692,16 @@ def mlp_linear(x, gamma, wg, wu, wd, eps, *, key=None):
     three weights are all-INT8 mixed-precision with one config; falls
     back to exactly that composite otherwise."""
     ws = (wg, wu, wd)
-    configs = {w.config for w in ws if isinstance(w, MixedPrecisionWeight)}
+    configs = {w.config for w in ws if isinstance(w, _FUSED_WEIGHT_TYPES)}
     fused = (
         len(configs) == 1
-        and all(isinstance(w, MixedPrecisionWeight) for w in ws)
+        and all(isinstance(w, _FUSED_WEIGHT_TYPES) for w in ws)
         and _fusable_cfg(next(iter(configs)))
     )
     if fused:
         x2d = x.reshape(-1, x.shape[-1])
         x2d, M = _pad_tokens(x2d)
-        F = wg.data.shape[0]
+        F = wg.shape[-2]
         fused = _fused_ok(x2d.shape[0], x2d.shape[1], x.dtype) and _fused_ok(
             x2d.shape[0], F, x.dtype, n_inputs=3
         )
@@ -659,11 +717,14 @@ def mlp_linear(x, gamma, wg, wu, wd, eps, *, key=None):
         if cfg.stochastic_rounding:
             raise ValueError("stochastic_rounding requires a PRNG key")
         key = jax.random.PRNGKey(0)
+    views = [_w_views(w) for w in ws]
     out = _mlp_mm(
         cfg, float(eps), _interpret(), x2d, gamma,
-        wg.data, wu.data, wd.data, key,
+        tuple(v[0] for v in views), tuple(v[1] for v in views),
+        tuple(v[2] for v in views), tuple(v[3] for v in views),
+        tuple(v[4] for v in views), key,
     )[:M]
-    return out.reshape(*x.shape[:-1], wd.data.shape[0])
+    return out.reshape(*x.shape[:-1], wd.shape[-2])
 
 
 # ---------------------------------------------------------------------------
@@ -689,7 +750,7 @@ def _group_cotangent(dctx2d: Array, B: int, S: int, kv: int, hd: int,
     return pr.rope_group_ref(x4, one, jnp.zeros_like(one), kv)
 
 
-def _attn_out_mm_impl(config, interpret, out_g, w, key):
+def _attn_out_mm_impl(config, interpret, out_g, w, rq, rs, cq, cs, key):
     from ..ops import pallas_rope as pr
 
     B, KV, G, S, hd = out_g.shape
@@ -702,7 +763,7 @@ def _attn_out_mm_impl(config, interpret, out_g, w, key):
     ).reshape(B * S, KV * G * hd)
     x_row_s = (row_amax * (1.0 / 127.0)).reshape(B * S, 1).astype(w.dtype)
     kw = _sub(key, 1) if sr else None
-    w_row, w_row_s = quantize_int8(w, axis=1, stochastic_rounding=sr, key=kw)
+    w_row, w_row_s = _row_view(w, rq, rs, sr, kw)
     out = scaled_mm_general(
         x_row, w_row, x_row_s, w_row_s, dims=(1, 1), out_dtype=w.dtype
     )
@@ -712,7 +773,7 @@ def _attn_out_mm_impl(config, interpret, out_g, w, key):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _attn_out_mm(config, interpret: bool, out_g, w, key):
+def _attn_out_mm(config, interpret: bool, out_g, w, rq, rs, cq, cs, key):
     """Grouped attention output [B,KV,G,S,hd] @ w.T -> [B*S, out].
 
     The ungrouping runs INSIDE the int8 quantize kernels
@@ -721,12 +782,15 @@ def _attn_out_mm(config, interpret: bool, out_g, w, key):
     and the backward's colwise operand reuses the forward's col absmax
     (one read of the grouped output instead of ungroup + 2-pass
     quantize)."""
-    return _attn_out_mm_impl(config, interpret, out_g, w, key)[0]
+    return _attn_out_mm_impl(config, interpret, out_g, w, rq, rs, cq, cs,
+                             key)[0]
 
 
-def _attn_out_mm_fwd(config, interpret, out_g, w, key):
-    out, col_amax = _attn_out_mm_impl(config, interpret, out_g, w, key)
-    return out, (out_g, w, key, col_amax)
+def _attn_out_mm_fwd(config, interpret, out_g, w, rq, rs, cq, cs, key):
+    out, col_amax = _attn_out_mm_impl(
+        config, interpret, out_g, w, rq, rs, cq, cs, key
+    )
+    return out, (out_g, w, cq, cs, key, col_amax)
 
 
 def _ungroup_bf16(out_g, interpret):
@@ -751,7 +815,7 @@ def _ungroup_bf16(out_g, interpret):
 def _attn_out_mm_bwd(config, interpret, res, g):
     from ..ops import pallas_rope as pr
 
-    out_g, w, key, col_amax = res
+    out_g, w, cq, cs, key, col_amax = res
     B, KV, G, S, hd = out_g.shape
     g = g.astype(w.dtype)
     sr = config.stochastic_rounding
@@ -769,9 +833,7 @@ def _attn_out_mm_bwd(config, interpret, res, g):
             g, axis=1, stochastic_rounding=sr, key=kg
         )
     if gi8:
-        w_col, w_col_s = quantize_int8(
-            w, axis=0, stochastic_rounding=sr, key=kw
-        )
+        w_col, w_col_s = _col_view(w, cq, cs, sr, kw)
         dctx = scaled_mm_general(
             g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=w.dtype
         )
@@ -789,7 +851,7 @@ def _attn_out_mm_bwd(config, interpret, res, g):
         )
     else:
         grad_w = _bf16_wgrad(g, _ungroup_bf16(out_g, interpret))
-    return d_out_g, grad_w, None
+    return d_out_g, grad_w, None, None, None, None, None
 
 
 _attn_out_mm.defvjp(_attn_out_mm_fwd, _attn_out_mm_bwd)
@@ -808,7 +870,7 @@ def attn_out_linear(out_g: Array, w, kv: int, *, key=None) -> Array:
     from ..ops.pallas_rope import _supported_heads
 
     fused = (
-        isinstance(w, MixedPrecisionWeight)
+        isinstance(w, _FUSED_WEIGHT_TYPES)
         and _fusable_cfg(w.config)
         and (H * hd) % 128 == 0
         and (B * S) % 256 == 0
@@ -824,8 +886,8 @@ def attn_out_linear(out_g: Array, w, kv: int, *, key=None) -> Array:
         if w.config.stochastic_rounding:
             raise ValueError("stochastic_rounding requires a PRNG key")
         key = jax.random.PRNGKey(0)
-    out = _attn_out_mm(w.config, _interpret(), out_g, w.data, key)
-    return out.reshape(B, S, w.data.shape[0])
+    out = _attn_out_mm(w.config, _interpret(), out_g, *_w_views(w), key)
+    return out.reshape(B, S, w.shape[-2])
 
 
 # ---------------------------------------------------------------------------

@@ -661,3 +661,72 @@ def test_silu_bwd_rowwise_bf16_variant():
     # the 6-output all-int8 variant still returns amaxes
     out = pf.silu_mul_bwd_quant_rowwise(gate, up, dy, interpret=True)
     assert len(out) == 6 and out[4].shape == (1, 256)
+
+
+def test_fused_with_prequantized_weights_matches_dynamic():
+    """PreQuantMPWeight rides the fused producer custom_vjps (round 5:
+    the per-step weight views and the producer fusion save DISJOINT HBM
+    passes, so they compose); outputs and grads must match the dynamic
+    MixedPrecisionWeight fused path exactly (same absmax quantize of the
+    same weights, hoisted)."""
+    from quantized_training_tpu.quant.mixed_precision import (
+        PreQuantMPWeight,
+        prequantize_weight,
+    )
+
+    x = _mk((4, 64, 256), 80)
+    gamma = (1 + 0.1 * _mk((256,), 81, jnp.float32)).astype(jnp.bfloat16)
+    wg, wu = _mp_weights([(384, 256)] * 2, [82, 83])
+    (wd,) = _mp_weights([(256, 384)], [84])
+    key = jax.random.PRNGKey(9)
+
+    def run(x, gamma, g_d, u_d, d_d, preq):
+        ws = [quant.MixedPrecisionWeight(d, wg.config) for d in (g_d, u_d, d_d)]
+        if preq:
+            ws = [prequantize_weight(w) for w in ws]
+            assert all(isinstance(w, PreQuantMPWeight) for w in ws)
+        out = quant.mlp_linear(x, gamma, ws[0], ws[1], ws[2], EPS, key=key)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    fused.set_impl("interpret")
+    try:
+        loss_d, grads_d = _grads(
+            lambda *a: run(*a, preq=False), x, gamma, wg.data, wu.data, wd.data
+        )
+        loss_p, grads_p = _grads(
+            lambda *a: run(*a, preq=True), x, gamma, wg.data, wu.data, wd.data
+        )
+    finally:
+        fused.set_impl("auto")
+
+    np.testing.assert_allclose(float(loss_p), float(loss_d), rtol=1e-6)
+    for gp, gd in zip(grads_p, grads_d):
+        np.testing.assert_allclose(
+            np.asarray(gp, np.float32), np.asarray(gd, np.float32),
+            rtol=1e-6, atol=1e-6,
+        )
+
+    # attn_out path with prequant weight
+    B, KV, G, S, hd = 2, 2, 2, 64, 64
+    y = _mk((B, KV, G, S, hd), 85)
+    (w,) = _mp_weights([(256, KV * G * hd)], [86])
+
+    def run_attn(y, wdata, preq):
+        wq = quant.MixedPrecisionWeight(wdata, w.config)
+        if preq:
+            wq = prequantize_weight(wq)
+        out = quant.attn_out_linear(y, wq, KV, key=key)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    fused.set_impl("interpret")
+    try:
+        l_d, g_d = _grads(lambda *a: run_attn(*a, preq=False), y, w.data)
+        l_p, g_p = _grads(lambda *a: run_attn(*a, preq=True), y, w.data)
+    finally:
+        fused.set_impl("auto")
+    np.testing.assert_allclose(float(l_p), float(l_d), rtol=1e-6)
+    for gp, gd in zip(g_p, g_d):
+        np.testing.assert_allclose(
+            np.asarray(gp, np.float32), np.asarray(gd, np.float32),
+            rtol=1e-6, atol=1e-6,
+        )
