@@ -114,6 +114,7 @@ class TestFP8TrainableScheme:
             assert rel < 0.08, rel
 
     @pytest.mark.parametrize("scale", ["row", "tile"])
+    @pytest.mark.slow
     def test_train_step_tracks_bf16(self, scale):
         """Full driver path: quantize_params(dtype='fp8_e4m3') -> train
         steps on learnable data; loss decreases and tracks bf16."""

@@ -125,6 +125,7 @@ def _grads(fn, *args):
     return out, grads
 
 
+@pytest.mark.slow
 def test_norm_linear_multi_matches_unfused():
     """Fused custom_vjp (interpret kernels) == unfused composite: outputs
     and every gradient, within quantization-LSB tolerance."""

@@ -66,6 +66,7 @@ class TestMesh:
 
 class TestShardedTraining:
     @pytest.mark.parametrize("mesh_axes", [{"data": 8}, {"fsdp": 8}, {"data": 2, "fsdp": 4}])
+    @pytest.mark.slow
     def test_sharded_matches_single_device(self, mesh_axes):
         params = llama.init_params(jax.random.PRNGKey(0), TINY)
         qparams = quant.quantize_params(params, "mixed_precision")
@@ -108,6 +109,7 @@ class TestBitNetFSDP:
             np.asarray(out_sh), np.asarray(out_ref), rtol=1e-3, atol=1e-3
         )
 
+    @pytest.mark.slow
     def test_quantized_all_gather_grads_match(self):
         mesh = make_mesh({"data": 2, "fsdp": 4})
         k1, k2 = jax.random.split(jax.random.PRNGKey(1))
@@ -215,6 +217,7 @@ class TestShardedCheckpoint:
     reassembled shard-by-shard against the restoring job's shardings —
     no host gather of any array (utils/checkpoint.py)."""
 
+    @pytest.mark.slow
     def test_sharded_roundtrip_bitexact(self, tmp_path):
         from quantized_training_tpu.parallel import state_shardings
         from quantized_training_tpu.utils import (

@@ -4,6 +4,7 @@ admission mid-flight, and parity with the batched generate() decoder."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from quantized_training_tpu.models import llama, llama_infer
 from quantized_training_tpu.models.serving import Server
@@ -79,6 +80,7 @@ def test_admission_mid_flight():
     assert srv.result(r2) == ref2
 
 
+@pytest.mark.slow
 def test_queue_when_slots_full():
     """Requests beyond the slot pool are QUEUED (VERDICT r2 weak #7) and
     admitted FIFO as slots free; each still matches its reference."""
