@@ -16,9 +16,11 @@ producer values, same round-half-even, same scaled int8 matmuls
 (reference: subclasses/mixed_precision.py:100-134 per-matmul dynamic
 re-quantization — here the re-quantize is fused, not skipped).
 
-Dispatch: the fused path engages only for all-INT8 MixedPrecisionWeight
-configs on TPU with kernel-admissible shapes; everything else falls back
-to the exact unfused composite. ``QT_FUSED=0`` (env) or
+Dispatch: the fused path engages for int8 configs with output AND
+grad_input quantized (see _fusable_cfg for the measured reasoning) on
+TPU with kernel-admissible shapes, for both dynamic MixedPrecisionWeight
+and per-step PreQuantMPWeight weights; everything else falls back to the
+exact unfused composite. ``QT_FUSED=0`` (env) or
 ``set_impl('off')`` restores the unfused path for A/B;
 ``set_impl('interpret')`` runs the fused kernels in interpret mode so CPU
 tests can exercise the full custom_vjp.
@@ -40,7 +42,6 @@ from .core import quantize_int8, quantize_int8_both
 from .mixed_precision import (
     MixedPrecisionWeight,
     PreQuantMPWeight,
-    _all_int8,
     _pad_tokens,
 )
 
