@@ -42,7 +42,8 @@ def measure(params, cfg, args, window_buckets):
     from quantized_training_tpu.models.serving import Server
 
     srv = Server(params, cfg, n_slots=args.n_slots, max_len=args.max_len,
-                 window_buckets=window_buckets)
+                 window_buckets=window_buckets,
+                 decode_chunk=args.decode_chunk)
     rng = np.random.default_rng(0)
     prompts = [
         rng.integers(1, cfg.vocab_size, size=args.prompt_len).tolist()

@@ -292,7 +292,7 @@ class Server:
             window_buckets.append(max_len)
         self._windows = tuple(sorted(set(min(w, max_len) for w in window_buckets)))
         assert self._windows[-1] == max_len
-        self._decode_fns: dict[int, object] = {}
+        self._decode_fns: dict[tuple[int, int], object] = {}
         self._pos_host: dict[int, int] = {}  # slot -> next write position
         self._free = list(range(n_slots))
         self._slot_req: dict[int, int] = {}

@@ -264,7 +264,7 @@ def _bf16_wgrad(g, h):
 def _norm_mm_bwd(config, eps, interpret, res, gs):
     x2d, gamma, ws, col_qs, col_ss, key, col_amax = res
     sr = config.stochastic_rounding
-    gi8, gw8 = config.grad_input, config.grad_weight
+    gw8 = config.grad_weight
     if gw8:
         seed = _kseed(_sub(key, 2)) if sr else None
         # colwise-quantized norm output for grad_weight, fused: the bf16
@@ -286,21 +286,19 @@ def _norm_mm_bwd(config, eps, interpret, res, gs):
         kg = kw = None
         if sr:
             kg, kw = jax.random.split(jax.random.fold_in(_sub(key, 3), i))
-        if gi8 and gw8:
+        # grad_input is int8 in every fused config (_fusable_cfg)
+        if gw8:
             g_row, g_row_s, g_col, g_col_s = quantize_int8_both(
                 g, stochastic_rounding=sr, key=kg
             )
-        elif gi8:
+        else:
             g_row, g_row_s = quantize_int8(
                 g, axis=1, stochastic_rounding=sr, key=kg
             )
-        if gi8:
-            w_col, w_col_s = _col_view(w, col_qs[i], col_ss[i], sr, kw)
-            gi = scaled_mm_general(
-                g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=w.dtype
-            )
-        else:
-            gi = g @ w
+        w_col, w_col_s = _col_view(w, col_qs[i], col_ss[i], sr, kw)
+        gi = scaled_mm_general(
+            g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=w.dtype
+        )
         dy = gi if dy is None else dy + gi
         if gw8:
             grad_ws.append(
@@ -384,7 +382,7 @@ def _silu_mm_impl(config, interpret, a2d, b2d, w, rq, rs, cq, cs, key):
         col_amax = None
     y_row_s = y_row_s.astype(a2d.dtype)
     kw = _sub(key, 1) if sr else None
-    w_row, w_row_s = quantize_int8(w, axis=1, stochastic_rounding=sr, key=kw)
+    w_row, w_row_s = _row_view(w, rq, rs, sr, kw)
     out = scaled_mm_general(
         y_row, w_row, y_row_s, w_row_s, dims=(1, 1), out_dtype=a2d.dtype
     )
@@ -408,25 +406,23 @@ def _silu_mm_bwd(config, interpret, res, g):
     a2d, b2d, w, cq, cs, key, col_amax = res
     g = g.astype(a2d.dtype)
     sr = config.stochastic_rounding
-    gi8, gw8 = config.grad_input, config.grad_weight
+    gw8 = config.grad_weight
     kg = kw = None
     if sr:
         kg, kw = jax.random.split(_sub(key, 3))
-    if gi8 and gw8:
+    # grad_input is int8 in every fused config (_fusable_cfg)
+    if gw8:
         g_row, g_row_s, g_col, g_col_s = quantize_int8_both(
             g, stochastic_rounding=sr, key=kg
         )
-    elif gi8:
+    else:
         g_row, g_row_s = quantize_int8(
             g, axis=1, stochastic_rounding=sr, key=kg
         )
-    if gi8:
-        w_col, w_col_s = _col_view(w, cq, cs, sr, kw)
-        dy = scaled_mm_general(
-            g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=w.dtype
-        )
-    else:
-        dy = g @ w
+    w_col, w_col_s = _col_view(w, cq, cs, sr, kw)
+    dy = scaled_mm_general(
+        g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=w.dtype
+    )
     if gw8:
         seed = _kseed(_sub(key, 2)) if sr else None
         # col scale from the forward's amax -> ONE read of (a, b), not two
@@ -577,27 +573,24 @@ def _mlp_mm_bwd(config, eps, interpret, res, g):
     wg, wu, wd = ws
     g = g.astype(x2d.dtype)
     sr = config.stochastic_rounding
-    gi8, gw8 = config.grad_input, config.grad_weight  # gw8 implies gi8
+    gw8 = config.grad_weight  # grad_input is int8 per _fusable_cfg
 
     # down-proj backward
     kg = kw = None
     if sr:
         kg, kw = jax.random.split(_sub(key, 4))
-    if gi8 and gw8:
+    if gw8:
         g_row, g_row_s, g_col, g_col_s = quantize_int8_both(
             g, stochastic_rounding=sr, key=kg
         )
-    elif gi8:
+    else:
         g_row, g_row_s = quantize_int8(
             g, axis=1, stochastic_rounding=sr, key=kg
         )
-    if gi8:
-        wd_col, wd_col_s = _col_view(wd, col_qs[2], col_ss[2], sr, kw)
-        dact = scaled_mm_general(
-            g_row, wd_col, g_row_s, wd_col_s, dims=(1, 0), out_dtype=wd.dtype
-        )
-    else:
-        dact = g @ wd
+    wd_col, wd_col_s = _col_view(wd, col_qs[2], col_ss[2], sr, kw)
+    dact = scaled_mm_general(
+        g_row, wd_col, g_row_s, wd_col_s, dims=(1, 0), out_dtype=wd.dtype
+    )
     if gw8:
         seed3 = _kseed(_sub(key, 5)) if sr else None
         act_col, act_col_s = pf.silu_mul_quant_colwise(
@@ -612,7 +605,7 @@ def _mlp_mm_bwd(config, eps, interpret, res, g):
         wd_grad = _bf16_wgrad(g, pf.silu_mul_ref(gate, up))
 
     # (dgate, dup): computed (AND quantized, per config) in-kernel
-    if gi8 and gw8:
+    if gw8:
         seed4 = _kseed(_sub(key, 6)) if sr else None
         da_q, da_s, db_q, db_s, da_camax, db_camax = (
             pf.silu_mul_bwd_quant_rowwise(
@@ -625,7 +618,7 @@ def _mlp_mm_bwd(config, eps, interpret, res, g):
             db_camax * (1.0 / 127.0), seed5, sr=sr, interpret=interpret,
         )
         dgu = ((da_q, da_s), (db_q, db_s))
-    elif gi8:
+    else:
         # rowwise-int8 (dgate, dup) for the int8 dgrads AND their bf16
         # twins for the BF16 wgrads — one kernel, one read of
         # (gate, up, dact); without this XLA materializes the silu
@@ -637,10 +630,6 @@ def _mlp_mm_bwd(config, eps, interpret, res, g):
             with_amax=False, with_bf16=True,
         )
         dgu = ((da_q, da_s), (db_q, db_s))
-    else:
-        da_bf, db_bf = pf.silu_mul_bwd_f32(gate, up, dact)
-        da_bf = da_bf.astype(x2d.dtype)
-        db_bf = db_bf.astype(x2d.dtype)
 
     if gw8:
         # gate/up wgrads against the colwise-quantized norm output
@@ -655,16 +644,13 @@ def _mlp_mm_bwd(config, eps, interpret, res, g):
     dh = None
     grads_w = []
     for i, w in enumerate((wg, wu)):
-        if gi8:
-            v_row, v_row_s = dgu[i]
-            kw = jax.random.fold_in(_sub(key, 9), i) if sr else None
-            w_col, w_col_s = _col_view(w, col_qs[i], col_ss[i], sr, kw)
-            di = scaled_mm_general(
-                v_row, w_col, v_row_s.astype(w.dtype), w_col_s,
-                dims=(1, 0), out_dtype=w.dtype,
-            )
-        else:
-            di = (da_bf, db_bf)[i] @ w
+        v_row, v_row_s = dgu[i]
+        kw = jax.random.fold_in(_sub(key, 9), i) if sr else None
+        w_col, w_col_s = _col_view(w, col_qs[i], col_ss[i], sr, kw)
+        di = scaled_mm_general(
+            v_row, w_col, v_row_s.astype(w.dtype), w_col_s,
+            dims=(1, 0), out_dtype=w.dtype,
+        )
         dh = di if dh is None else dh + di
         if gw8:
             v_col = (da_qc, db_qc)[i]
@@ -820,26 +806,23 @@ def _attn_out_mm_bwd(config, interpret, res, g):
     B, KV, G, S, hd = out_g.shape
     g = g.astype(w.dtype)
     sr = config.stochastic_rounding
-    gi8, gw8 = config.grad_input, config.grad_weight  # gw8 implies gi8
+    gw8 = config.grad_weight  # grad_input is int8 per _fusable_cfg
     kg = kw = None
     seed = _kseed(_sub(key, 2)) if sr else None
     if sr:
         kg, kw = jax.random.split(_sub(key, 3))
-    if gi8 and gw8:
+    if gw8:
         g_row, g_row_s, g_col, g_col_s = quantize_int8_both(
             g, stochastic_rounding=sr, key=kg
         )
-    elif gi8:
+    else:
         g_row, g_row_s = quantize_int8(
             g, axis=1, stochastic_rounding=sr, key=kg
         )
-    if gi8:
-        w_col, w_col_s = _col_view(w, cq, cs, sr, kw)
-        dctx = scaled_mm_general(
-            g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=w.dtype
-        )
-    else:
-        dctx = g @ w
+    w_col, w_col_s = _col_view(w, cq, cs, sr, kw)
+    dctx = scaled_mm_general(
+        g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=w.dtype
+    )
     d_out_g = _group_cotangent(dctx, B, S, KV, hd, interpret)
     if gw8:
         x_col = pr.ungroup_quant(
@@ -952,27 +935,24 @@ def _ln_mm_bwd(config, eps, interpret, res, gout):
     x2d, g, b, w, key, col_amax = res
     gout = gout.astype(x2d.dtype)
     sr = config.stochastic_rounding
-    gi8, gw8 = config.grad_input, config.grad_weight  # gw8 implies gi8
+    gw8 = config.grad_weight  # grad_input is int8 per _fusable_cfg
     kg = kw = None
     if sr:
         kg, kw = jax.random.split(_sub(key, 3))
-    if gi8 and gw8:
+    if gw8:
         g_row, g_row_s, g_col, g_col_s = quantize_int8_both(
             gout, stochastic_rounding=sr, key=kg
         )
-    elif gi8:
+    else:
         g_row, g_row_s = quantize_int8(
             gout, axis=1, stochastic_rounding=sr, key=kg
         )
-    if gi8:
-        w_col, w_col_s = quantize_int8(
-            w, axis=0, stochastic_rounding=sr, key=kw
-        )
-        dy = scaled_mm_general(
-            g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=w.dtype
-        )
-    else:
-        dy = gout @ w
+    w_col, w_col_s = quantize_int8(
+        w, axis=0, stochastic_rounding=sr, key=kw
+    )
+    dy = scaled_mm_general(
+        g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=w.dtype
+    )
     if gw8:
         seed = _kseed(_sub(key, 2)) if sr else None
         y_col, y_col_s = pf.layernorm_quant(
@@ -1055,27 +1035,24 @@ def _gelu_mm_bwd(config, interpret, res, gout):
     a2d, w, key, col_amax = res
     gout = gout.astype(a2d.dtype)
     sr = config.stochastic_rounding
-    gi8, gw8 = config.grad_input, config.grad_weight  # gw8 implies gi8
+    gw8 = config.grad_weight  # grad_input is int8 per _fusable_cfg
     kg = kw = None
     if sr:
         kg, kw = jax.random.split(_sub(key, 3))
-    if gi8 and gw8:
+    if gw8:
         g_row, g_row_s, g_col, g_col_s = quantize_int8_both(
             gout, stochastic_rounding=sr, key=kg
         )
-    elif gi8:
+    else:
         g_row, g_row_s = quantize_int8(
             gout, axis=1, stochastic_rounding=sr, key=kg
         )
-    if gi8:
-        w_col, w_col_s = quantize_int8(
-            w, axis=0, stochastic_rounding=sr, key=kw
-        )
-        dy = scaled_mm_general(
-            g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=w.dtype
-        )
-    else:
-        dy = gout @ w
+    w_col, w_col_s = quantize_int8(
+        w, axis=0, stochastic_rounding=sr, key=kw
+    )
+    dy = scaled_mm_general(
+        g_row, w_col, g_row_s, w_col_s, dims=(1, 0), out_dtype=w.dtype
+    )
     if gw8:
         seed = _kseed(_sub(key, 2)) if sr else None
         y_col, y_col_s = pf.gelu_quant(

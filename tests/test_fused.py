@@ -541,15 +541,13 @@ def test_mlp_linear_matches_unfused():
         assert np.abs(gf - gu).max() / denom < 6e-2, np.abs(gf - gu).max() / denom
 
 
-@pytest.mark.parametrize(
-    "gi,gw",
-    [(True, False), (False, False)],
-    ids=["gi_only", "fwd_only"],
-)
+@pytest.mark.parametrize("gi,gw", [(True, False)], ids=["gi_only"])
 def test_mlp_linear_partial_configs_match_unfused(gi, gw):
-    """VERDICT r4 item 3: the fused producers now cover fwd-only and
-    fwd+grad_input configs (BF16 wgrads / dgrads branch), not just
-    all-INT8 — fused (interpret) must match the unfused composite."""
+    """VERDICT r4 item 3: the fused producers cover fwd+grad_input
+    configs (BF16 wgrads branch), not just all-INT8 — fused (interpret)
+    must match the unfused composite. (fwd-only configs intentionally
+    take the unfused path — see _fusable_cfg's measured A/B — so there
+    is no fused fwd-only branch to test.)"""
     x = _mk((4, 64, 256), 50)
     gamma = (1 + 0.1 * _mk((256,), 51, jnp.float32)).astype(jnp.bfloat16)
     wg, wu = _mp_weights([(384, 256)] * 2, [52, 53],
@@ -583,8 +581,7 @@ def test_mlp_linear_partial_configs_match_unfused(gi, gw):
         )
 
 
-@pytest.mark.parametrize("gi,gw", [(True, False), (False, False)],
-                         ids=["gi_only", "fwd_only"])
+@pytest.mark.parametrize("gi,gw", [(True, False)], ids=["gi_only"])
 def test_norm_and_attn_out_partial_configs_match_unfused(gi, gw):
     x = _mk((4, 64, 256), 60)
     gamma = (1 + 0.1 * _mk((256,), 61, jnp.float32)).astype(jnp.bfloat16)

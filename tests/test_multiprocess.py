@@ -70,7 +70,6 @@ def _run_phase(phase: str, workdir: str, port: int, timeout: float = 420.0):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_two_process_train_checkpoint_resume(tmp_path):
     workdir = str(tmp_path)
     port = _free_port()

@@ -28,7 +28,6 @@ def _losses(run_dir: Path):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_resume_matches_uninterrupted(tmp_path):
     common = [
         "--model", "llama2-470m",
