@@ -53,7 +53,12 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _working_set(bm: int, bn: int, bk: int, elem: int) -> int:
-    return 2 * (bm * bk + bk * bn) * elem + 4 * bm * bn + 2 * bm * bn
+    # a/b double-buffered + fp32 accumulator + OUTPUT at its f32 worst
+    # case: lookup() does not know the caller's out_dtype, and a config
+    # measured with a bf16 out can exceed the 16M scoped-vmem limit when
+    # the caller asks for f32 (benchmark_mm's exactness checks hit this
+    # at 4096^3 with the (1024,1024,1024) entry: 16.01M, over by 8K)
+    return 2 * (bm * bk + bk * bn) * elem + 4 * bm * bn + 4 * bm * bn
 
 
 def _cap_blocks(blocks, elem: int) -> tuple[int, int, int]:

@@ -412,6 +412,23 @@ def tile_scaled_mm(
 
     bm, bn = min(block_m, _round_up(M, 128)), min(block_n, _round_up(N, 128))
     assert qk >= 128, f"K quant block ({qk}) must be >= 128"
+    # VMEM guard with the ACTUAL bk (full-K unroll for n_qk <= 32, which
+    # the autotune lookup's working-set cap cannot model — its cached bk
+    # is 0 for this kernel) and the CALLER's out dtype: a config swept
+    # with a bf16 out can exceed the 16M scoped limit when asked for f32
+    # (benchmark_mm's exactness checks, 16.12M at 4096^3 / (1024, 512)).
+    out_b = jnp.dtype(out_dtype).itemsize
+    bk_eff = K if n_qk <= 32 else min(16, n_qk) * qk
+
+    def _vmem(bm_, bn_):
+        return (2 * (bm_ * bk_eff + bk_eff * bn_)
+                + 4 * bm_ * bn_ + out_b * bm_ * bn_)
+
+    while _vmem(bm, bn) > 14 * 1024 * 1024 and (bm > 256 or bn > 256):
+        if bm >= bn and bm > 256:
+            bm //= 2
+        else:
+            bn //= 2
     Mp, Np = _round_up(M, bm), _round_up(N, bn)
     a = _pad2(a, Mp, K)
     b = _pad2(b, K, Np)
